@@ -1,0 +1,714 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_impl, oracle_sql) pair consumed by ``__spark_entry__``.
+
+Conventions (driver contract):
+- each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+- every computed column is aliased identically in the Spark plan and the
+  DuckDB oracle SQL (the driver sorts columns by name before hashing);
+- aggregate arithmetic is cast to DECIMAL(38,6) on BOTH sides so sums are
+  exact and order-insensitive (double addition is not associative — a
+  distributed sum would hash-flap against single-threaded DuckDB);
+- timestamps in result sets are emitted as 'yyyy-MM-dd[ HH:mm:ss]' strings
+  (or DATE) to sidestep timezone/precision representation differences;
+- rank/year/size outputs are pinned to INT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load_table
+from .plans import fusion_etl, valid_collisions as vc
+from .session import pin_parity_conf
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) callable; optionally its DuckDB oracle."""
+
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_parity_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# shared oracle-SQL fragments
+# ---------------------------------------------------------------------------
+
+_CUTOFF_VALUES = ",\n        ".join(
+    f"({y}, DATE '{d}')" for y, d in vc.CUTOFF_ROWS
+)
+
+#: DuckDB rendering of the flagship CTE chain
+#: (create_view_vw_valid_collision_from_oracle.sql:2-107); final SELECT is
+#: appended by each consumer.
+_FLAGSHIP_CTES = f"""
+WITH cutoff_dates AS (
+    SELECT CAST(created_year AS INT) AS created_year, cutoff_end_date
+    FROM (VALUES
+        {_CUTOFF_VALUES}
+    ) t(created_year, cutoff_end_date)
+),
+earliest AS (
+    SELECT user_id AS collision_id,
+           strftime(MIN(ts), '%Y-%m-%d') AS earliest_created_date
+    FROM events GROUP BY user_id
+),
+case_year AS (
+    SELECT collision_id,
+           CAST(EXTRACT(YEAR FROM CAST(earliest_created_date AS DATE)) AS INT) AS created_year,
+           earliest_created_date
+    FROM earliest
+),
+with_cutoff AS (
+    SELECT ccy.collision_id, ccy.created_year, ccd.cutoff_end_date
+    FROM case_year ccy
+    JOIN cutoff_dates ccd ON ccy.created_year = ccd.created_year
+),
+status_on_cutoff AS (
+    SELECT cwc.collision_id, cwc.created_year, cwc.cutoff_end_date,
+           e.event_type AS coll_status_type_id, e.ts AS effective_date,
+           ROW_NUMBER() OVER (
+               PARTITION BY cwc.collision_id
+               ORDER BY e.ts DESC, e.event_type DESC
+           ) AS rn
+    FROM with_cutoff cwc
+    JOIN events e ON cwc.collision_id = e.user_id
+                 AND CAST(e.ts AS DATE) <= cwc.cutoff_end_date
+    WHERE CAST(e.ts AS DATE) <= cwc.cutoff_end_date
+),
+filtered AS (
+    SELECT * FROM status_on_cutoff
+    WHERE effective_date <= CAST(cutoff_end_date AS TIMESTAMP)
+),
+reranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY collision_id ORDER BY rn ASC) AS rn2
+    FROM filtered
+),
+latest AS (SELECT * FROM reranked WHERE rn2 = 1)
+"""
+
+_VALID_IN = "('" + "','".join(vc.VALID_STATUSES) + "')"
+
+
+# ===========================================================================
+# Flagship (SURVEY.md §3.3 — exercises U1,F1,A1,A2,F3,J1,J2,P9,W1,W2,P10,
+# J3,P7,P8,O1 in one DAG)
+# ===========================================================================
+
+
+@query(
+    "flagship_valid_cohort",
+    oracle=_FLAGSHIP_CTES
+    + f"""
+SELECT l.collision_id, c.o_orderpriority AS case_nbr
+FROM latest l
+LEFT JOIN orders c ON l.collision_id = c.o_orderkey
+WHERE (l.coll_status_type_id = '{vc.VALID_STATUSES[0]}'
+       OR l.coll_status_type_id = '{vc.VALID_STATUSES[1]}')
+  AND c.o_orderpriority IS NOT NULL
+ORDER BY case_nbr DESC
+""",
+)
+def flagship_valid_cohort(spark, sf_dir):
+    """The full vw_valid_collision_from_oracle pipeline (Option 2 final)."""
+    return vc.flagship(spark, sf_dir)
+
+
+# ===========================================================================
+# U1 / F1 — literal-table union constructor
+# ===========================================================================
+
+
+@query(
+    "u1_cutoff_dim",
+    oracle=f"""
+SELECT CAST(created_year AS INT) AS created_year, cutoff_end_date
+FROM (VALUES
+    {_CUTOFF_VALUES}
+) t(created_year, cutoff_end_date)
+""",
+)
+def u1_cutoff_dim(spark, sf_dir):
+    """U1+F1: the 21-row-style literal cutoff dimension
+    (create_view_vw_valid_collision_from_oracle.sql:2-26)."""
+    return vc.cutoff_dates_df(spark)
+
+
+# ===========================================================================
+# A1/A2 — group-by MIN with TO_CHAR formatting
+# ===========================================================================
+
+
+@query(
+    "a1_earliest_status_date",
+    oracle="""
+SELECT user_id AS collision_id,
+       strftime(MIN(ts), '%Y-%m-%d') AS earliest_created_date
+FROM events GROUP BY user_id
+""",
+)
+def a1_earliest_status_date(spark, sf_dir):
+    """A1+A2 (sql:27-37): min(created_timestamp) per collision, formatted."""
+    return vc.earliest_created(vc.fixture_status_history(_t(spark, sf_dir, "events")))
+
+
+# ===========================================================================
+# F3 — EXTRACT(YEAR) projection
+# ===========================================================================
+
+
+@query(
+    "f3_case_year",
+    oracle="""
+SELECT collision_id,
+       CAST(EXTRACT(YEAR FROM CAST(earliest_created_date AS DATE)) AS INT) AS created_year,
+       earliest_created_date
+FROM (
+    SELECT user_id AS collision_id,
+           strftime(MIN(ts), '%Y-%m-%d') AS earliest_created_date
+    FROM events GROUP BY user_id
+) t
+""",
+)
+def f3_case_year(spark, sf_dir):
+    """F3 (sql:38-47): year extraction off the formatted earliest date."""
+    return vc.with_case_year(
+        vc.earliest_created(vc.fixture_status_history(_t(spark, sf_dir, "events")))
+    )
+
+
+# ===========================================================================
+# J1 — inner equi-join against broadcast literal dim
+# ===========================================================================
+
+
+@query(
+    "j1_with_cutoff",
+    oracle=f"""
+WITH cutoff_dates AS (
+    SELECT CAST(created_year AS INT) AS created_year, cutoff_end_date
+    FROM (VALUES
+        {_CUTOFF_VALUES}
+    ) t(created_year, cutoff_end_date)
+),
+case_year AS (
+    SELECT collision_id,
+           CAST(EXTRACT(YEAR FROM CAST(earliest_created_date AS DATE)) AS INT) AS created_year
+    FROM (
+        SELECT user_id AS collision_id,
+               strftime(MIN(ts), '%Y-%m-%d') AS earliest_created_date
+        FROM events GROUP BY user_id
+    ) t
+)
+SELECT ccy.collision_id, ccy.created_year, ccd.cutoff_end_date
+FROM case_year ccy JOIN cutoff_dates ccd ON ccy.created_year = ccd.created_year
+""",
+)
+def j1_with_cutoff(spark, sf_dir):
+    """J1 (sql:48-58): broadcast-hash join year -> cutoff_end_date."""
+    return vc.with_cutoff(
+        vc.with_case_year(
+            vc.earliest_created(vc.fixture_status_history(_t(spark, sf_dir, "events")))
+        ),
+        vc.cutoff_dates_df(spark),
+    )
+
+
+# ===========================================================================
+# J2 + P9 + W1 — equi+range join with latest-first ranking
+# ===========================================================================
+
+
+@query(
+    "j2_w1_status_rank",
+    oracle=_FLAGSHIP_CTES
+    + """
+SELECT collision_id, created_year, cutoff_end_date,
+       coll_status_type_id,
+       strftime(effective_date, '%Y-%m-%d %H:%M:%S.%f') AS effective_ts,
+       CAST(rn AS INT) AS rn
+FROM status_on_cutoff
+""",
+)
+def j2_w1_status_rank(spark, sf_dir):
+    """J2+P9+W1 (sql:59-77): status history at-or-before cutoff, ranked
+    latest-first with (effective_date DESC, status_id DESC)."""
+    sh = vc.fixture_status_history(_t(spark, sf_dir, "events"))
+    ranked = vc.status_on_cutoff(
+        vc.with_cutoff(vc.with_case_year(vc.earliest_created(sh)), vc.cutoff_dates_df(spark)),
+        sh,
+    )
+    return ranked.select(
+        "collision_id",
+        "created_year",
+        "cutoff_end_date",
+        "coll_status_type_id",
+        F.date_format("effective_date", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("effective_ts"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+# ===========================================================================
+# W2 + P10 — no-op re-rank and top-1 filter
+# ===========================================================================
+
+
+@query(
+    "w2_p10_latest_status",
+    oracle=_FLAGSHIP_CTES
+    + """
+SELECT collision_id, created_year, cutoff_end_date, coll_status_type_id,
+       strftime(effective_date, '%Y-%m-%d %H:%M:%S.%f') AS effective_ts,
+       CAST(rn AS INT) AS rn, CAST(rn2 AS INT) AS rn2
+FROM latest
+""",
+)
+def w2_p10_latest_status(spark, sf_dir):
+    """W2+P10 (sql:85-107): re-rank rn2 over rn (kept for fidelity) then
+    rn2 = 1 — the latest status per collision at its cutoff."""
+    sh = vc.fixture_status_history(_t(spark, sf_dir, "events"))
+    latest = vc.latest_status(
+        vc.status_on_cutoff(
+            vc.with_cutoff(vc.with_case_year(vc.earliest_created(sh)), vc.cutoff_dates_df(spark)),
+            sh,
+        )
+    )
+    return latest.select(
+        "collision_id",
+        "created_year",
+        "cutoff_end_date",
+        "coll_status_type_id",
+        F.date_format("effective_date", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("effective_ts"),
+        F.col("rn").cast("int").alias("rn"),
+        F.col("rn2").cast("int").alias("rn2"),
+    )
+
+
+# ===========================================================================
+# Fusion ETL transform (J4/P2/P3/P4/F5/F6/F7 in one DAG — §3.3 script part)
+# ===========================================================================
+
+_FUSION_TARGET_COLUMNS = [
+    "id",
+    "case_nbr",
+    "case_year",
+    "occurence_timestring",
+    "source",
+    "fatal_comments",
+    "severity_of_collision_id",  # exists in target, not in df -> dropped by P2
+]
+
+
+@query(
+    "fusion_etl_collisions",
+    oracle=_FLAGSHIP_CTES
+    + f"""
+, valid AS (
+    SELECT l.collision_id
+    FROM latest l LEFT JOIN orders c ON l.collision_id = c.o_orderkey
+    WHERE (l.coll_status_type_id = '{vc.VALID_STATUSES[0]}'
+           OR l.coll_status_type_id = '{vc.VALID_STATUSES[1]}')
+      AND c.o_orderpriority IS NOT NULL
+),
+coll AS (
+    SELECT o_orderkey AS id,
+           o_orderpriority AS case_nbr,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderdate END AS occurence_timestamp,
+           o_orderdate AS reported_timestamp,
+           o_orderstatus AS fatal_comments
+    FROM orders
+)
+SELECT id, case_nbr, fatal_comments,
+       CAST(EXTRACT(YEAR FROM COALESCE(occurence_timestamp, reported_timestamp)) AS INT) AS case_year,
+       strftime(occurence_timestamp, '%Y-%m-%d') AS occurence_timestring,
+       'eCollision Oracle' AS source
+FROM coll
+WHERE id IN (SELECT collision_id FROM valid)
+""",
+)
+def fusion_etl_collisions(spark, sf_dir):
+    """The reference's fusion-table transform
+    (etl_ecollision_fusion_table_collisions.py) end to end: valid-cohort
+    semi-join (J4), case_year derivation (F5+F6), rename (P3), timestring
+    (F7), lineage literal (P4), schema-intersection projection (P2).
+
+    ``occurence_timestamp`` is NULLed for status-'P' orders to exercise the
+    coalesce fallback path the fixture data lacks (FIXTURES.md item 4).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    collisions = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("case_nbr"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .alias("occurence_timestamp"),
+        F.col("o_orderdate").alias("reported_timestamp"),
+        F.col("o_orderstatus").alias("fatal_comment"),
+    )
+    valid_ids = vc.flagship(spark, sf_dir).select("collision_id")
+    return fusion_etl.fusion_collisions_transform(
+        collisions, valid_ids, _FUSION_TARGET_COLUMNS
+    )
+
+
+# ===========================================================================
+# J4 / P5 — semi-join membership filter
+# ===========================================================================
+
+
+@query(
+    "j4_semi_filter",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+""",
+)
+def j4_semi_filter(spark, sf_dir):
+    """J4/P5: the reference's driver-side ``isin`` filter
+    (etl_ecollision_fusion_table_collisions.py:78-81) as a distributed
+    left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return orders.join(
+        rich.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ===========================================================================
+# J5 — anti-join (proper form of the analytics-only cohort)
+# ===========================================================================
+
+
+@query(
+    "j5_anti_orphan_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+ORDER BY c_custkey
+""",
+)
+def j5_anti_orphan_customers(spark, sf_dir):
+    """J5: 'Analytics not in Oracle' cohort semantics
+    (create_view_vw_valid_collision_from_analytics_not_in_oracle.sql) in
+    proper anti-join form: customers with no finalized ('F') order.  The
+    status predicate keeps the cohort non-empty at every scale factor (at
+    sf>=0.01 every customer has *some* order)."""
+    customer = _t(spark, sf_dir, "customer")
+    fulfilled = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        customer.join(fulfilled, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "p6_negative_id_cohort",
+    oracle="""
+SELECT c_custkey AS id, c_name
+FROM customer
+WHERE c_custkey < 1
+ORDER BY id ASC
+""",
+)
+def p6_negative_id_cohort(spark, sf_dir):
+    """P6+O2: the reference's literal complement view — ``WHERE id < 1
+    ORDER BY id`` (create_view_vw_valid_collision_from_analytics_not_in_oracle.sql:7-8)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1)
+        .select(F.col("c_custkey").alias("id"), "c_name")
+        .orderBy(F.asc("id"))
+    )
+
+
+# ===========================================================================
+# J6 — decode-dimension join chain (broadcast)
+# ===========================================================================
+
+
+@query(
+    "j6_decode_chain",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def j6_decode_chain(spark, sf_dir):
+    """J6: *_id -> code-value decode joins
+    (CODE_TYPE_VALUES lookups, reference.py:7-8) as broadcast-hash joins of
+    the small dimensions."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+# ===========================================================================
+# A4 — argmax (max_by) form of latest-status
+# ===========================================================================
+
+
+@query(
+    "a4_argmax_latest_event",
+    oracle="""
+SELECT user_id,
+       event_type AS latest_status,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts
+FROM (
+    SELECT user_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rn
+    FROM events
+) t WHERE rn = 1
+""",
+)
+def a4_argmax_latest_event(spark, sf_dir):
+    """A4: latest status per collision as a single-pass ``max_by`` over a
+    (ts, status) ordering struct — the aggregation form of W1+P10 (SURVEY.md
+    §2.4).  One shuffle, no window sort: the preferred shape at scale."""
+    events = _t(spark, sf_dir, "events")
+    top = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "ts"), F.struct("ts", "event_type")
+        ).alias("m")
+    )
+    return top.select(
+        "user_id",
+        F.col("m.event_type").alias("latest_status"),
+        F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("latest_ts"),
+    )
+
+
+# ===========================================================================
+# P11 — CASE WHEN flag derivation
+# ===========================================================================
+
+
+@query(
+    "p11_valid_flag",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       CASE WHEN event_type = '{vc.VALID_STATUSES[0]}' THEN 1
+            WHEN event_type = '{vc.VALID_STATUSES[1]}' THEN 1
+            ELSE 0 END AS valid_at_cutoff_flag
+FROM events
+""",
+)
+def p11_valid_flag(spark, sf_dir):
+    """P11 (sql:123-127 Option-1 variant): status -> 0/1 validity flag."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == vc.VALID_STATUSES[0], 1)
+        .when(F.col("event_type") == vc.VALID_STATUSES[1], 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("valid_at_cutoff_flag"),
+    )
+
+
+# ===========================================================================
+# O3 / S2 / S4 — deterministic top-n (head sampling)
+# ===========================================================================
+
+
+@query(
+    "o3_top_n",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders ORDER BY o_orderkey LIMIT 100
+""",
+)
+def o3_top_n(spark, sf_dir):
+    """O3/S2/S4: ROWNUM<=n / SELECT TOP n head sample, made deterministic by
+    PK ordering (Spark plans it as TakeOrderedAndProject — no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+# ===========================================================================
+# A3 — row-count diagnostics
+# ===========================================================================
+
+
+@query(
+    "a3_counts",
+    oracle="""
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+""",
+)
+def a3_counts(spark, sf_dir):
+    """A3: stage row-count diagnostics (reference logs len(df) at
+    helper_db_operation.py:25,82) as a distributed aggregate."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ===========================================================================
+# O1 — explicit-null-ordering global sort
+# ===========================================================================
+
+
+@query(
+    "o1_sort_desc",
+    oracle="""
+SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS case_nbr
+FROM orders
+ORDER BY case_nbr DESC NULLS FIRST
+""",
+)
+def o1_sort_desc(spark, sf_dir):
+    """O1 (sql:151-152): ORDER BY case_nbr DESC with PostgreSQL null
+    placement (DESC => NULLS FIRST; Spark desc() is nulls-last, so the null
+    ordering is pinned explicitly — SURVEY.md §7.3.2)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "P", F.lit(None))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("case_nbr"),
+        )
+        .orderBy(F.desc_nulls_first("case_nbr"))
+    )
+
+
+# ===========================================================================
+# TPC-H-shaped analytical queries (engine breadth + bench workloads)
+# ===========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Pricing-summary rollup (TPC-H Q1 shape) — map-side partial agg +
+    single shuffle on the 6-group key; DECIMAL(38,6) accumulation keeps the
+    distributed sum exact and order-insensitive."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-30 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                dec(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q5_star_join_revenue",
+    oracle="""
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY revenue DESC
+""",
+)
+def q5_star_join_revenue(spark, sf_dir):
+    """Star-schema multi-join revenue rollup (fact-bridge-dim traversal per
+    FIXTURES.md): big-to-big joins shuffle on their keys, dimension joins are
+    broadcast — the plan Catalyst should pick for J6-style decode chains at
+    100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )

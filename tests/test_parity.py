@@ -1,0 +1,32 @@
+"""Correctness gate: every registered query with an oracle must match the
+DuckDB result on the sf0.001 fixtures (the driver repeats this at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_for_ecol_fusion_database_spark import registry
+
+from .parity import compare
+
+ORACLE_NAMES = sorted(registry.ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    problems = compare(spark, sf_dir, name, registry.QUERIES[name], registry.ORACLES[name])
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_every_query_runs(spark, sf_dir):
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert [c.lower() for c in df.columns] == ["collision_id", "case_nbr"]
