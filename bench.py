@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads:
+- the flagship validity pipeline and the fusion ETL transform (SURVEY.md §3.3)
+- aggregation / star-join analytics (q1, q5)
+- the ingest-shaped copy the reference actually measured (BASELINE.md:
+  read -> type-map transform -> write parquet; reference best = 2,600 rows/s)
+- extension operators (dedup, text analysis, similarity) as they land
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: registry queries timed by the harness (each materialized via count())
+HEADLINE = [
+    "flagship_valid_cohort",
+    "fusion_etl_collisions",
+    "q1_pricing_summary",
+    "q5_star_join_revenue",
+    "j2_w1_status_rank",
+    "a4_argmax_latest_event",
+    # extension operators (present from round 1+; keep list in sync with registry)
+    "x1_dedup_exact_docs",
+    "x3_text_quality",
+    "x3_lang_id",
+    "x2_cosine_topk",
+    "x1_minhash_near_dup",
+]
+
+
+def main() -> None:
+    from etl_for_ecol_fusion_database_spark import registry
+    from etl_for_ecol_fusion_database_spark.catalog import load_table
+    from etl_for_ecol_fusion_database_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a trivial action (not counted)
+    load_table(spark, SF_DIR, "region").count()
+
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # ingest-shaped copy (BASELINE.md): read the two biggest tables, apply the
+    # fusion-style transform (lineage lit + derived cols), write parquet.
+    out_dir = tempfile.mkdtemp(prefix="bench_ingest_")
+    t0 = time.perf_counter()
+    n_rows = 0
+    for tbl in ("lineitem", "orders"):
+        df = load_table(spark, SF_DIR, tbl)
+        df = df.withColumn("source", F.lit("eCollision Oracle"))
+        df.write.mode("overwrite").parquet(f"{out_dir}/{tbl}")
+        n_rows += spark.read.parquet(f"{out_dir}/{tbl}").count()
+    ingest_sec = round(time.perf_counter() - t0, 3)
+    timings["ingest_copy"] = ingest_sec
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_rows": n_rows,
+                "ingest_rows_per_sec": round(n_rows / ingest_sec) if ingest_sec else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""X4 multimodal columns: image/audio/video as opaque BINARY + typed
+metadata, with Arrow-batched decode/feature plumbing over ``mapInPandas``.
+
+The container ships no image/audio codecs, so the actual decode is STUBBED:
+``decode_image_real`` raises NotImplementedError (clearly marked), and
+``decode_image_fake`` produces a deterministic fake feature vector from the
+bytes so the Spark-side plumbing — schema, batch shape, partitioning — is
+real and tested end-to-end.
+
+Design for 100 TB: media bytes never leave the executor as Python objects
+row-by-row; ``mapInPandas`` streams Arrow record batches, and the UDF
+operates on whole pandas columns.  Metadata (dims, codec, byte size) travels
+in a sibling STRUCT column so filters prune *before* any decode happens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata carried beside every media BLOB
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+#: output schema of the fake decoder (real one would add pixel tensors)
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Materialize an opaque-binary media column from the documents fixture:
+    bytes = utf-8 encoding of the text (stand-in for real image bytes) plus
+    a typed metadata struct."""
+    data = F.encode(F.col("text"), "utf-8")
+    return df.select(
+        "doc_id",
+        data.alias("media_bytes"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake/utf8").alias("codec"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image_real(payload: bytes) -> object:
+    """REAL decode path — requires an image codec (PIL/opencv), which this
+    container does not ship.  Kept as the documented extension point."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; not available in this environment. "
+        "Swap decode_image_fake -> a real decoder when codecs are installed."
+    )
+
+
+def _fake_feature(buf: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'embedding' derived from byte statistics — stands
+    in for a real decoder's feature output, keeps tests meaningful."""
+    if not buf:
+        return [0.0] * dim
+    out = []
+    n = len(buf)
+    for d in range(dim):
+        s = sum(buf[i] for i in range(d, n, dim)) if n > d else 0
+        out.append(round((s % 1000) / 1000.0, 6))
+    return out
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake decode: one pandas DataFrame per record batch in,
+    one out.  This function's *shape* (Iterator[pd.DataFrame] ->
+    Iterator[pd.DataFrame]) is exactly what a real decoder would use."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["media_bytes"].map(lambda b: len(b) if b is not None else 0),
+                "feature": pdf["media_bytes"].map(_fake_feature),
+            }
+        )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Run the (fake) decoder over the media table via mapInPandas.
+
+    Partitioning note: decode is CPU-bound and embarrassingly parallel —
+    repartition upstream by size, never by key, and let each Arrow batch
+    stay whole."""
+    return df.select("doc_id", "media_bytes").mapInPandas(
+        decode_media_batch, schema=DECODED_SCHEMA
+    )
+
+
+def media_metadata_summary(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — must prune the BLOB column from the scan
+    (verify with .explain: ReadSchema excludes media_bytes)."""
+    return df.groupBy(F.col("media_meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("media_meta.n_bytes")).alias("total_bytes"),
+    )

@@ -1,0 +1,186 @@
+"""X2 similarity search over embedding columns (array<float>).
+
+Two paths, as the north star mandates:
+
+- **Brute-force cosine top-k** — exact baseline.  Queries are a small
+  bounded set, broadcast against the candidate corpus; the dot product is a
+  JVM-side ``aggregate(zip_with(...))`` fold (no UDF, no Python).  At 100 TB
+  the corpus side stays partition-parallel and nothing shuffles except the
+  final per-query top-k (tiny).
+- **LSH-bucketed ANN** — random-hyperplane signatures (deterministic,
+  seed-derived via xxhash64 — no stored plane matrix) bucket the corpus;
+  probing joins queries to their bucket (+ optional multi-probe on 1-bit
+  flips) and ranks within the bucket only.  The candidate set per query is
+  ~corpus/2^bits, which is what makes 100 TB tractable.
+
+Float discipline: embeddings are float32; every element is cast to double
+*before* multiply, and the fold accumulates left-to-right — bit-identical to
+DuckDB's ``list_dot_product`` on ``DOUBLE[]``, which the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold dot product with per-element double casts."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq_expr(v: str | Column) -> Column:
+    """Sum of squares (double fold)."""
+    cv = F.col(v) if isinstance(v, str) else v
+    return F.aggregate(
+        F.transform(cv, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Precompute the L2 norm once per vector (never per pair)."""
+    return df.withColumn("norm", F.sqrt(norm_sq_expr(vec_col)))
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_queries: int = 20,
+) -> DataFrame:
+    """Exact cosine top-k: the first ``n_queries`` ids probe the full corpus.
+
+    The query side is broadcast (bounded, tiny); the corpus never shuffles
+    until the per-query top-k, which ranks on (rounded cosine DESC, id ASC)
+    for determinism.
+    """
+    corpus = with_norm(
+        df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
+    ).withColumnRenamed("norm", "cnorm")
+    queries = with_norm(
+        df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .filter(F.col("q_id") < n_queries),
+        "qv",
+    ).withColumnRenamed("norm", "qnorm")
+    sim = F.round(
+        dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(bit: int, dim_idx: Column, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from xxhash64(bit, dim, seed) — the plane matrix is never materialized
+    or shipped; every executor recomputes components on the fly."""
+    h = F.xxhash64(F.lit(bit), dim_idx, F.lit(seed))
+    return (h % 2000003).cast("double") / F.lit(1000001.5) - F.lit(1.0)
+
+
+def hyperplane_signature(vec_col: str, n_bits: int = 12, seed: int = 42) -> Column:
+    """n_bits-bit random-hyperplane signature: bit i = sign(v · p_i)."""
+    v = F.col(vec_col)
+    sig = F.lit(0).cast("long")
+
+    def projector(bit):
+        # closure factory (a default arg would change the lambda arity seen
+        # by zip_with)
+        return lambda x, i: x.cast("double") * _plane_component(bit, i, seed)
+
+    for bit in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), projector(bit)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def lsh_bucketed_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_queries: int = 20,
+    n_bits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket (plus all
+    buckets within hamming distance ``multiprobe`` of it) and rank by exact
+    cosine within the candidates.  Bucket join shuffles on the signature —
+    per-query work is a controlled fraction of the corpus instead of all of
+    it.  On near-uniform random vectors recall is inherently modest (the
+    neighbor/non-neighbor cosine gap is small); multiprobe radius trades
+    candidates for recall."""
+    sig = hyperplane_signature(vec_col, n_bits, seed)
+    corpus = with_norm(
+        df.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), sig.alias("bucket")
+        ),
+        "cv",
+    ).withColumnRenamed("norm", "cnorm")
+    queries = with_norm(
+        df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), sig.alias("qsig"))
+        .filter(F.col("q_id") < n_queries),
+        "qv",
+    ).withColumnRenamed("norm", "qnorm")
+    flips: list[int] = [0]
+    if multiprobe >= 1:
+        flips += [1 << b for b in range(n_bits)]
+    if multiprobe >= 2:
+        flips += [
+            (1 << b1) | (1 << b2)
+            for b1 in range(n_bits)
+            for b2 in range(b1 + 1, n_bits)
+        ]
+    queries = queries.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("qsig").bitwiseXOR(F.lit(m).cast("long")) for m in flips])
+        ),
+    )
+    sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        queries.join(corpus, on="bucket")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", sim.alias("cosine"))
+        .dropDuplicates(["q_id", "cand_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

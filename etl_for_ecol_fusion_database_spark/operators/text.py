@@ -1,0 +1,143 @@
+"""X3 text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  Each operator is exercised on the
+``documents`` fixture table and, where SQL-expressible, checked against the
+DuckDB oracle (registry_ext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: regex for whitespace tokenization (kept RE2/Java-regex compatible so the
+#: DuckDB oracle uses the identical pattern)
+WS = r"\s+"
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, single punctuation —
+#: the shape GPT-style byte-pair pre-tokenization produces for ASCII text.
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: tiny per-language marker vocabularies for the n-gram/stopword language-ID
+#: heuristic; deliberately small and closed so the oracle SQL can embed them.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish placeholders
+}
+
+#: stopwords for the quality-score ratio (English core; closed set)
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "on", "for",
+)
+
+
+def tokens(col: Column | str, pattern: str = WS) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), pattern)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokens (SURVEY.md
+    §2.11 X3).  Both counts pinned to INT."""
+    return df.select(
+        "doc_id",
+        F.size(tokens(text_col)).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)).cast("int").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from length / punctuation / stopword ratios.
+
+    score = 0.4*stopword_ratio + 0.3*(1 - punct_ratio) + 0.3*len_norm,
+    all ratios double, rounded to 6dp for cross-engine hash stability.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_chars = F.length(text_col)
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    len_norm = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    return df.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.lit(0.4) * stop_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * len_norm,
+            6,
+        ).alias("quality_score"),
+    ).drop("_text")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language marker-hit counts over lowercased whitespace tokens."""
+    t = tokens(F.lower(F.col(text_col)))
+
+    def hit_counter(markers):
+        # closure factory: a default arg would change the lambda's arity and
+        # make F.filter pass the element *index* into it
+        return lambda x: x.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(t, hit_counter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of marker-vocabulary hits with a fixed
+    evaluation order as tiebreak (en > es > de > fr > zh), 'und' when no
+    marker hits at all."""
+    scores = lang_scores(text_col)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    cols = [F.col("doc_id")]
+    cols += [scores[lang].cast("int").alias(f"score_{lang}") for lang in langs]
+    cols.append(pred.alias("pred_lang"))
+    return df.select(*cols)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (portable across
+    engines — both Spark and DuckDB ship md5)."""
+    return df.select(
+        "doc_id", F.md5(normalize_text(text_col)).alias("fingerprint")
+    )
+
+
+def fingerprint_rolling(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min xxhash64 over all
+    ``window``-grams of the normalized text.  xxhash64 is Spark-specific →
+    rows-only correctness check (no DuckDB oracle)."""
+    norm = normalize_text(text_col)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
+        f"i -> substring(lower({text_col}), i, {window}))"
+    )
+    return df.select(
+        "doc_id",
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("rolling_fp"),
+        F.md5(norm).alias("exact_fp"),
+    )

@@ -712,3 +712,8 @@ def q5_star_join_revenue(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"))
     )
+
+
+# extension operators register themselves on import (bottom import keeps the
+# decorator registry single-sourced without a circular-import headache)
+from . import registry_ext  # noqa: E402,F401

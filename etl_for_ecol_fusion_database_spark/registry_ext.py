@@ -1,0 +1,455 @@
+"""Extension-operator registry (SURVEY.md §2.11 / north-star X1-X5):
+dedup, similarity search, text analysis, multimodal columns, event windows.
+
+Same conventions as registry.py.  Queries without an oracle entry
+(xxhash64-based LSH/SimHash, mapInPandas decode) get the driver's rows-only
+check; every one of those still has a property-based pytest
+(tests/test_ext_operators.py) asserting semantic invariants against an
+exact ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import dedup, multimodal, similarity, text
+from .registry import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# X1 — deduplication
+# ===========================================================================
+
+
+@query(
+    "x1_dedup_exact_docs",
+    oracle="""
+SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def x1_dedup_exact_docs(spark, sf_dir):
+    """X1 exact dedup on documents.text: hash-groupBy with deterministic
+    min-id survivorship (map-side combine collapses dup groups pre-shuffle)."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "x1_dedup_exact_events",
+    oracle="""
+SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_copies
+FROM events GROUP BY user_id, event_type
+""",
+)
+def x1_dedup_exact_events(spark, sf_dir):
+    """X1 exact dedup on a composite key (user_id, event_type)."""
+    return dedup.exact_dedup_groups(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], "event_id"
+    )
+
+
+@query(
+    "x1_ngram_jaccard_pairs",
+    oracle=r"""
+WITH sh AS (
+    SELECT doc_id AS id,
+           CASE WHEN len(toks) >= 2
+                THEN list_distinct([toks[i] || ' ' || toks[i+1]
+                                    for i in generate_series(1, len(toks) - 1)])
+                ELSE list_distinct(toks) END AS sh
+    FROM (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ) t
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) >= 0.05
+""",
+)
+def x1_ngram_jaccard_pairs(spark, sf_dir):
+    """X1 n-gram Jaccard near-dup scoring (exact all-pairs over a bounded id
+    range — the ground truth the MinHash path approximates)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.05, max_id=200
+    )
+
+
+def _with_synthetic_near_dups(docs):
+    """Append mutated copies of the first 20 docs (drop first word,
+    id+1_000_000) — guarantees true near-duplicates exist at any scale
+    factor so LSH recall checks are non-vacuous."""
+    mutated = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+@query("x1_minhash_near_dup")  # xxhash64-based -> rows-only driver check
+def x1_minhash_near_dup(spark, sf_dir):
+    """X1 MinHash+LSH near-dup pairs (shingle -> 32-hash signature -> 8-band
+    bucketing -> candidate join -> exact-Jaccard verify).  Synthetic mutated
+    copies are injected so true near-dups exist; recall vs the exact
+    ngram-Jaccard ground truth is asserted in tests/test_ext_operators.py."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(
+        docs, n=2, num_hashes=32, n_bands=8, threshold=0.4
+    )
+
+
+@query("x1_simhash_near_pairs")  # xxhash64-based -> rows-only driver check
+def x1_simhash_near_pairs(spark, sf_dir):
+    """X1 SimHash near-dup pairs at hamming<=6 via 4-block pigeonhole
+    equality joins (finds hamming<=3 exhaustively; 4-6 opportunistically)."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+@query(
+    "x1_embedding_near_dup",
+    oracle="""
+WITH base AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings WHERE vec_id < 200
+)
+SELECT id_a, id_b, cosine FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+    FROM base a JOIN base b ON a.id < b.id
+) t WHERE cosine >= 0.3
+""",
+)
+def x1_embedding_near_dup(spark, sf_dir):
+    """X1 embedding-cosine near-dup pairs (exact, bounded id range)."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, max_id=200
+    )
+
+
+# ===========================================================================
+# X2 — similarity search
+# ===========================================================================
+
+
+@query(
+    "x2_cosine_topk",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine
+    FROM base q JOIN base c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 20
+),
+ranked AS (
+    SELECT q_id, cand_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def x2_cosine_topk(spark, sf_dir):
+    """X2 brute-force cosine top-k (exact ANN baseline): 20 broadcast query
+    vectors against the full corpus, JVM-side double fold for the dot
+    product, per-query top-5 on (cosine DESC, cand_id)."""
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=20
+    )
+
+
+@query("x2_lsh_bucketed_ann")  # xxhash64-derived planes -> rows-only check
+def x2_lsh_bucketed_ann(spark, sf_dir):
+    """X2 LSH-bucketed ANN: 8-bit random-hyperplane signatures bucket the
+    corpus; queries probe their bucket + all 1-bit flips and rank by exact
+    cosine within candidates.  Recall vs x2_cosine_topk asserted in tests."""
+    return similarity.lsh_bucketed_ann(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=20, n_bits=8
+    )
+
+
+# ===========================================================================
+# X3 — text analysis
+# ===========================================================================
+
+
+@query(
+    "x3_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def x3_token_counts(spark, sf_dir):
+    """X3 token counting: whitespace + BPE-ish pre-tokenizer regex."""
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+_STOP_LIST = "['" + "','".join(text.STOPWORDS) + "']"
+
+
+@query(
+    "x3_text_quality",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+               / len(toks)::DOUBLE AS sr,
+           n_punct::DOUBLE / n_chars::DOUBLE AS pr,
+           least(n_chars::DOUBLE / 500.0, 1.0) AS ln
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       round(sr, 6) AS stopword_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * ln, 6) AS quality_score
+FROM r
+""",
+)
+def x3_text_quality(spark, sf_dir):
+    """X3 quality scoring: stopword/punctuation/length ratios composed into
+    a [0,1] score — the C4/Gopher-style cheap quality filter shape."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _marker_list(lang: str) -> str:
+    return "['" + "','".join(text.LANG_MARKERS[lang]) + "']"
+
+
+_LANG_SCORE_SQL = ",\n           ".join(
+    f"len(list_filter(toks, x -> list_contains({_marker_list(lang)}, x))) AS s_{lang}"
+    for lang in text.LANG_MARKERS
+)
+_LANG_GREATEST = "greatest(" + ", ".join(f"s_{l}" for l in text.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_LANG_GREATEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = {_LANG_GREATEST} THEN '{lang}'" for lang in text.LANG_MARKERS
+    )
+    + " END"
+)
+
+
+@query(
+    "x3_lang_id",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           {_LANG_SCORE_SQL}
+    FROM t
+)
+SELECT doc_id,
+       {", ".join(f"CAST(s_{l} AS INT) AS score_{l}" for l in text.LANG_MARKERS)},
+       {_LANG_CASE} AS pred_lang
+FROM s
+""",
+)
+def x3_lang_id(spark, sf_dir):
+    """X3 language-ID heuristic: marker-vocabulary hit argmax with fixed
+    tie order, 'und' when no hits."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x3_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def x3_fingerprint(spark, sf_dir):
+    """X3 document fingerprint: md5 over normalized text (NB DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all)."""
+    return text.fingerprint_md5(_t(spark, sf_dir, "documents"))
+
+
+@query("x3_fingerprint_rolling")  # xxhash64 -> rows-only driver check
+def x3_fingerprint_rolling(spark, sf_dir):
+    """X3 winnowing-style rolling-hash fingerprint (min xxhash64 over
+    char 8-grams); invariance under whitespace-only edits tested in
+    tests/test_ext_operators.py."""
+    return text.fingerprint_rolling(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# X4 — JSON / multimodal columns
+# ===========================================================================
+
+
+@query(
+    "x4_json_props",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+FROM events
+""",
+)
+def x4_json_props(spark, sf_dir):
+    """X4 JSON property extraction from events.props."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@query(
+    "x4_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def x4_binary_meta(spark, sf_dir):
+    """X4 opaque-binary column plumbing: utf-8 byte length off the BINARY
+    column + content digest (metadata travels beside the blob)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.encode("text", "utf-8")).cast("int").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+@query("x4_media_decode")  # mapInPandas -> rows-only driver check
+def x4_media_decode(spark, sf_dir):
+    """X4 multimodal decode plumbing: documents -> opaque media BLOBs ->
+    Arrow-batched (fake) decoder via mapInPandas; real codec is a marked
+    stub (operators/multimodal.py)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media)
+
+
+@query(
+    "x4_media_meta_summary",
+    oracle="""
+SELECT 'image' AS media_type, COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+""",
+)
+def x4_media_meta_summary(spark, sf_dir):
+    """X4 metadata-only aggregation over the media table — the BLOB column
+    is pruned from the scan (struct-field pushdown)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.media_metadata_summary(media)
+
+
+# ===========================================================================
+# X5 — event-time windows (batch equivalents of the streaming surface;
+# streaming/ runs the same plans with readStream + watermark)
+# ===========================================================================
+
+
+@query(
+    "x5_tumbling_hourly",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def x5_tumbling_hourly(spark, sf_dir):
+    """X5 tumbling event-time window (1h) per event_type.  Identical plan
+    runs under Structured Streaming with a watermark
+    (streaming/events_stream.py)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "x5_session_windows",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '10 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def x5_session_windows(spark, sf_dir):
+    """X5 session windows (10-minute gap) per user — Spark's native
+    session_window; the oracle reconstructs identical sessions with
+    lag + cumulative-sum (new session iff gap >= 10min, matching Spark's
+    exclusive session-end semantics)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+        )
+    )
