@@ -1,0 +1,114 @@
+"""Sinks (S10-S16): table writers with the reference's routing/idempotency
+semantics, Spark-shaped.
+
+Reference behaviors reproduced:
+
+- dev/prod table routing via suffix/prefix — ``_dev`` +
+  ``oracle_``/``analytics_``/``fusion_`` (S15;
+  ingest_ecollision_oracle_data.py:19,83, ingest_ecollision_analytics_data.py:18-19,84-85,
+  etl_ecollision_fusion_table_collisions.py:101)
+- drop-and-recreate vs idempotent create (S9/S10;
+  ingest_ecollision_oracle_data.py:86-93 vs the DO $$ guard at
+  ingest_ecollision_analytics_data.py:33-40)
+- truncate-then-load (S11; DELETE FROM at
+  etl_ecollision_fusion_table_collisions.py:124-131)
+- batched inserts (S13; execute_batch at helper_db_operation.py:142-155)
+  -> the JDBC ``batchsize`` option
+- transactional writes (S16; commit/rollback at helper_db_operation.py:
+  123-155) -> Spark's atomic commit protocol (staged files + rename)
+- the intended-but-undefined ``bulk_insert_dataframe`` (S14) -> ``df.write``
+
+Row-at-a-time inserts (S12, ingest_ecollision_oracle_data.py:98-104) have NO
+Spark equivalent on purpose: that pattern is the reference's 2.46-hour
+bottleneck (BASELINE.md) and is replaced by distributed writes everywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .readers import JdbcSource
+
+PREFIXES = ("oracle_", "analytics_", "fusion_")
+
+
+def route_table_name(base: str, *, system: str = "fusion", dev_mode: bool = False) -> str:
+    """S15 dev/prod routing: ``fusion_collisions_dev`` when dev_mode
+    (etl_ecollision_fusion_table_collisions.py:101)."""
+    prefix = f"{system}_" if not base.startswith(PREFIXES) else ""
+    return f"{prefix}{base}{'_dev' if dev_mode else ''}"
+
+
+@dataclass
+class ParquetSink:
+    """Fixture-scale sink: parquet directory per table (atomic via staged
+    file commit — the S16 transactionality analogue)."""
+
+    base_dir: str
+
+    def path(self, table: str) -> str:
+        return f"{self.base_dir.rstrip('/')}/{table}"
+
+    def overwrite(self, df: DataFrame, table: str, *, partition_by: list[str] | None = None) -> None:
+        """S10+S11: drop-and-reload semantics."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """S13/S14 semantics: bulk append."""
+        df.write.mode("append").parquet(self.path(table))
+
+    def create_if_not_exists(self, spark: SparkSession, df: DataFrame, table: str) -> bool:
+        """S9 idempotent create (the reference's DO $$ IF NOT EXISTS guard):
+        write only when the target does not already exist; returns whether a
+        write happened."""
+        try:
+            spark.read.parquet(self.path(table)).schema
+            return False
+        except Exception:
+            df.write.mode("errorifexists").parquet(self.path(table))
+            return True
+
+
+def write_jdbc(
+    df: DataFrame,
+    sink: JdbcSource,
+    table: str,
+    *,
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> None:
+    """S13 batched JDBC sink.  ``batchsize`` is the reference's tuned
+    batch_size knob (best observed 10,000 — supplementary/doc.xlsx,
+    BASELINE.md); executors write partitions concurrently, so throughput is
+    partitions x batch pipeline instead of one psycopg2 cursor."""
+    (
+        df.write.format("jdbc")
+        .option("url", sink.url)
+        .option("dbtable", table)
+        .option("user", sink.user)
+        .option("password", sink.password)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "READ_COMMITTED")
+        .mode(mode)
+        .save()
+    )
+
+
+def truncate_and_load_jdbc(df: DataFrame, sink: JdbcSource, table: str) -> None:
+    """S11: the DELETE-then-insert pattern as Spark's truncate-overwrite
+    (keeps the target's DDL, unlike a drop)."""
+    (
+        df.write.format("jdbc")
+        .option("url", sink.url)
+        .option("dbtable", table)
+        .option("user", sink.user)
+        .option("password", sink.password)
+        .option("truncate", "true")
+        .mode("overwrite")
+        .save()
+    )

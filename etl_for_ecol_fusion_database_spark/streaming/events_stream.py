@@ -1,0 +1,158 @@
+"""Structured Streaming surface over the events table (SURVEY.md §2.9 [ext]).
+
+The reference is batch-only; its one stream-shaped entity is the append-only
+CL_STATUS_HISTORY log consumed with point-in-time cutoffs
+(create_view_vw_valid_collision_from_oracle.sql:59-77).  This module runs the
+same event-log computations as continuous queries:
+
+- tumbling / sliding / session event-time windows with watermarks,
+- stateful streaming dedup (``dropDuplicatesWithinWatermark``),
+- a streaming flavor of the latest-status-at-cutoff operator.
+
+Batch/stream parity: every aggregation here reuses the exact expression
+shapes of the batch queries (registry_ext x5_*), so a file-source replay
+with ``trigger(availableNow=True)`` must produce the batch answer — that's
+the invariant tests/test_streaming.py asserts.
+
+Scale posture: state is keyed per (window, event_type) or per user —
+bounded domains; the watermark bounds state retention; file sources at
+100 TB become Kafka sources with identical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: explicit schema for the file stream source (streams cannot infer), with
+#: the raw nanosecond epoch as LONG (see catalog.NANOS_TIMESTAMP_COLS)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # ns epoch in the fixture parquet
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture parquet (at production
+    scale this is a Kafka/queue source; the downstream plan is identical)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a *directory*; select just the events file
+    # from the fixture dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window aggregation with late-data watermark —
+    streaming twin of registry_ext.x5_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user — streaming twin of x5_session_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on the natural key (user_id, event_type, ts)
+    — state bounded by the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def latest_status_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Streaming flavor of the A4/W1 latest-status operator: max_by over the
+    (ts, event_type) ordering struct per user, emitted per window close.
+
+    A truly unbounded 'latest ever' needs complete-mode or
+    applyInPandasWithState; windowed latest keeps state bounded and is the
+    shape production pipelines use."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.max_by(F.struct("event_type", "ts"), F.struct("ts", "event_type")).alias("m"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            F.col("m.event_type").alias("latest_status"),
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, *, output_mode: str = "append"):
+    """Execute a streaming plan to completion over the file source
+    (availableNow) into an in-memory sink; returns the query handle."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def write_stream_parquet(df: DataFrame, path: str, checkpoint: str, *, output_mode: str = "append"):
+    """Production-shaped sink: parquet files + checkpoint dir (exactly-once
+    via the streaming commit log)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,118 @@
+"""Streaming surface: batch/stream parity and stateful-op invariants.
+
+Strategy (SURVEY.md §7.3.9): replay the events fixture through a file-source
+stream with trigger(availableNow=True) — after the replay, windowed results
+must equal the batch queries run on the same data (append mode emits only
+watermark-closed windows, so the batch side is filtered to the same
+horizon)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark import registry
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+from etl_for_ecol_fusion_database_spark.streaming import events_stream as es
+
+
+@pytest.fixture(scope="module")
+def events_max_ts(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m")).collect()[0].m
+    )
+
+
+def _closed_windows(batch_df, events_max_ts, window_col, watermark_hours=2, fmt="yyyy-MM-dd HH:mm:ss"):
+    """Batch rows whose window END is at or before the final watermark."""
+    horizon = F.lit(events_max_ts) - F.expr(f"INTERVAL {watermark_hours} HOURS")
+    return batch_df.filter(F.col(window_col) <= F.date_format(horizon, fmt))
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_max_ts):
+    stream = es.tumbling_counts(es.read_events_stream(spark, sf_dir))
+    q = es.run_to_memory(stream, "t_tumbling")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = registry.QUERIES["x5_tumbling_hourly"](spark, sf_dir)
+    # append mode emits only windows the watermark has closed; compare on
+    # the intersection and require it to be substantial
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got, "stream produced no closed windows"
+    for key, val in got.items():
+        assert expected[key] == val, f"window {key}: stream={val} batch={expected[key]}"
+    # every batch window closed before the final watermark must be present
+    closed = {
+        k for k, _ in expected.items()
+        if k[0] < max(g[0] for g in got)  # strictly before last emitted start
+    }
+    missing = closed - set(got)
+    assert not missing, f"closed windows missing from stream output: {sorted(missing)[:5]}"
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    stream = es.session_counts(es.read_events_stream(spark, sf_dir))
+    es.run_to_memory(stream, "t_sessions")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in registry.QUERIES["x5_session_windows"](spark, sf_dir).collect()
+    }
+    assert got, "no sessions emitted"
+    for key, val in got.items():
+        assert batch[key] == val, f"session {key}: stream={val} batch={batch[key]}"
+
+
+def test_sliding_windows_pane_multiplicity(spark, sf_dir):
+    stream = es.sliding_counts(es.read_events_stream(spark, sf_dir))
+    es.run_to_memory(stream, "t_sliding")
+    rows = spark.table("t_sliding").collect()
+    assert rows
+    # every event lands in window/slide = 2 panes: total pane-events ≈ 2x
+    total_pane_events = sum(r.n_events for r in rows)
+    n_events_closed = sum(
+        r.n_events
+        for r in spark.table("t_tumbling").collect()
+    ) if spark.catalog.tableExists("t_tumbling") else None
+    if n_events_closed:
+        assert total_pane_events >= n_events_closed  # >= because panes overlap
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, sf_dir):
+    events = es.read_events_stream(spark, sf_dir)
+    deduped = es.dedup_within_watermark(events)
+    es.run_to_memory(deduped, "t_dedup")
+    n_stream = spark.table("t_dedup").count()
+    n_batch = (
+        load_table(spark, sf_dir, "events")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .count()
+    )
+    assert n_stream == n_batch
+
+
+def test_latest_status_stream_runs(spark, sf_dir):
+    stream = es.latest_status_stream(es.read_events_stream(spark, sf_dir))
+    es.run_to_memory(stream, "t_latest")
+    rows = spark.table("t_latest").collect()
+    assert rows
+    assert {"window_start", "user_id", "latest_status"} == set(rows[0].asDict())
+
+
+def test_parquet_sink_checkpointed(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as d:
+        stream = es.tumbling_counts(es.read_events_stream(spark, sf_dir))
+        q = es.write_stream_parquet(stream, f"{d}/out", f"{d}/ckpt")
+        q.awaitTermination()
+        out = spark.read.parquet(f"{d}/out")
+        assert out.count() == spark.table("t_tumbling").count()
