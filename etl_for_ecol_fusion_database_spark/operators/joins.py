@@ -1,0 +1,73 @@
+"""Join operators beyond plain equi-joins — notably the as-of join.
+
+SURVEY.md §2.3 notes the reference's J2+W1 combination ("status history rows
+at-or-before the cutoff, keep the latest") *is* an as-of join computed the
+expensive way (range join then rank-filter).  This module provides the
+direct operator.
+
+Scale design: the classic scalable as-of implementation is the union+window
+("merge") form — tag both inputs, union, and take ``last(payload) ignoring
+nulls`` over (key, time, side).  ONE shuffle on the key, one sort within
+partitions, zero row explosion — versus the range join whose output is
+|probe| x |matching quotes| before the rank filter.  This is how kdb/Flink/
+QuestDB-style engines do it; Spark expresses it with built-in window
+functions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    greatest ``right_time`` <= ``left_time`` (same key); NULLs when no such
+    row.  ``inclusive=False`` gives strictly-before semantics.
+
+    Implementation: union with a side tag, then ``last(payload, ignorenulls)``
+    over (key ORDER BY time, side) — quotes sort before probes at equal
+    time when inclusive (so an equal-time quote is visible to the probe),
+    after them when exclusive.
+    """
+    quote_side, probe_side = (0, 1) if inclusive else (1, 0)
+    lcols = left.columns
+    q = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(quote_side).alias("_side"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    p = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(probe_side).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = q.unionByName(p).select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload
+        ],
+    )
+    return merged.filter(F.col("_side") == probe_side).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in payload]
+    )

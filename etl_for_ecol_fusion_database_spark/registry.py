@@ -714,6 +714,124 @@ def q5_star_join_revenue(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# S17 / S5 — the SQL surface: the flagship expressed as Spark SQL text over
+# registered temp views (CREATE OR REPLACE VIEW + query-the-view, the way
+# the reference consumes it at etl_ecollision_fusion_table_collisions.py:47-56)
+# ===========================================================================
+
+_FLAGSHIP_SPARK_SQL = f"""
+WITH cutoff_dates AS (
+    SELECT CAST(created_year AS INT) AS created_year, cutoff_end_date
+    FROM (VALUES
+        {_CUTOFF_VALUES}
+    ) t(created_year, cutoff_end_date)
+),
+earliest AS (
+    SELECT user_id AS collision_id,
+           date_format(MIN(ts), 'yyyy-MM-dd') AS earliest_created_date
+    FROM events GROUP BY user_id
+),
+case_year AS (
+    SELECT collision_id,
+           CAST(EXTRACT(YEAR FROM CAST(earliest_created_date AS DATE)) AS INT) AS created_year
+    FROM earliest
+),
+with_cutoff AS (
+    SELECT ccy.collision_id, ccy.created_year, ccd.cutoff_end_date
+    FROM case_year ccy
+    JOIN cutoff_dates ccd ON ccy.created_year = ccd.created_year
+),
+status_on_cutoff AS (
+    SELECT cwc.collision_id, cwc.cutoff_end_date,
+           e.event_type AS coll_status_type_id, e.ts AS effective_date,
+           ROW_NUMBER() OVER (
+               PARTITION BY cwc.collision_id
+               ORDER BY e.ts DESC, e.event_type DESC
+           ) AS rn
+    FROM with_cutoff cwc
+    JOIN events e ON cwc.collision_id = e.user_id
+                 AND CAST(e.ts AS DATE) <= cwc.cutoff_end_date
+    WHERE CAST(e.ts AS DATE) <= cwc.cutoff_end_date
+),
+filtered AS (
+    SELECT * FROM status_on_cutoff
+    WHERE effective_date <= CAST(cutoff_end_date AS TIMESTAMP)
+),
+reranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY collision_id ORDER BY rn ASC) AS rn2
+    FROM filtered
+),
+latest AS (SELECT * FROM reranked WHERE rn2 = 1)
+SELECT l.collision_id, c.o_orderpriority AS case_nbr
+FROM latest l
+LEFT JOIN orders c ON l.collision_id = c.o_orderkey
+WHERE (l.coll_status_type_id = '{vc.VALID_STATUSES[0]}'
+       OR l.coll_status_type_id = '{vc.VALID_STATUSES[1]}')
+  AND c.o_orderpriority IS NOT NULL
+ORDER BY case_nbr DESC
+"""
+
+
+@query("flagship_valid_cohort_sql", oracle=ORACLES["flagship_valid_cohort"])
+def flagship_valid_cohort_sql(spark, sf_dir):
+    """S17+S5: the flagship as *SQL text* against CREATE OR REPLACE TEMP
+    VIEWs — proving the whole §3.3 pipeline runs on the engine's SQL surface
+    and produces the identical result to the DataFrame build (same Catalyst
+    plan either way)."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir, tables=("events", "orders"))
+    return spark.sql(_FLAGSHIP_SPARK_SQL)
+
+
+# ===========================================================================
+# As-of join — the direct operator for the J2+W1 semantic (SURVEY.md §2.3)
+# ===========================================================================
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+       e.event_type,
+       p.value AS asof_value,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_purchase_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def asof_last_purchase(spark, sf_dir):
+    """As-of join: for every event, the user's most recent purchase value
+    at-or-before that event (union+window merge form — one shuffle, no row
+    explosion; the scalable shape of the reference's J2+W1 range-join+rank).
+    Oracle uses DuckDB's native ASOF JOIN."""
+    from .operators.joins import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    joined = asof_join_backward(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        payload=["value", "p_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "event_type",
+        F.col("asof_value").alias("asof_value"),
+        F.date_format("asof_p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_purchase_ts"),
+    )
+
+
 # extension operators register themselves on import (bottom import keeps the
 # decorator registry single-sourced without a circular-import headache)
 from . import registry_ext  # noqa: E402,F401
