@@ -184,3 +184,81 @@ def lsh_bucketed_ann(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (the second scale path the north star names)
+# ---------------------------------------------------------------------------
+
+
+def ivf_bucketed_ann(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_queries: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    around ``n_centroids`` centroids; queries probe their ``n_probe``
+    nearest cells and rank by exact cosine within those candidates.
+
+    Centroids are the first ``n_centroids`` vectors (deterministic; a
+    k-means refinement would slot in unchanged).  The centroid set is tiny
+    and broadcast; cell assignment is a flat argmin over broadcast-joined
+    scores — corpus rows shuffle once on cell id.  Per-query work is
+    ~n_probe/n_centroids of the corpus: the linear-scan killer at 100 TB.
+    """
+    base = with_norm(
+        df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
+    ).withColumnRenamed("norm", "cnorm")
+    cents = (
+        with_norm(
+            df.filter(F.col(id_col) < n_centroids).select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv")
+            ),
+            "centv",
+        ).withColumnRenamed("norm", "centnorm")
+    )
+    # cell assignment: per (vector, centroid) cosine, keep argmax — the
+    # cross join is |corpus| x n_centroids with a broadcast build side
+    sim_to_cent = F.round(dot_expr("cv", "centv") / (F.col("cnorm") * F.col("centnorm")), 6)
+    assigned = (
+        base.join(F.broadcast(cents), how="cross")
+        .select("cand_id", "cv", "cnorm", "cent_id", sim_to_cent.alias("csim"))
+        .groupBy("cand_id")
+        .agg(
+            F.max_by(F.struct("cent_id"), F.struct("csim", (-F.col("cent_id")).alias("tb"))).alias("m"),
+            F.first("cv").alias("cv"),
+            F.first("cnorm").alias("cnorm"),
+        )
+        .select("cand_id", "cv", "cnorm", F.col("m.cent_id").alias("cell"))
+    )
+    queries = with_norm(
+        df.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+    ).withColumnRenamed("norm", "qnorm")
+    q_sim = F.round(dot_expr("qv", "centv") / (F.col("qnorm") * F.col("centnorm")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("qcsim"), F.asc("cent_id"))
+    probes = (
+        queries.join(F.broadcast(cents), how="cross")
+        .select("q_id", "qv", "qnorm", "cent_id", q_sim.alias("qcsim"))
+        .withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_probe)
+        .select("q_id", "qv", "qnorm", F.col("cent_id").alias("cell"))
+    )
+    sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        probes.join(assigned, on="cell")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

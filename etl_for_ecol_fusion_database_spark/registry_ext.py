@@ -183,10 +183,20 @@ def x2_cosine_topk(spark, sf_dir):
 @query("x2_lsh_bucketed_ann")  # xxhash64-derived planes -> rows-only check
 def x2_lsh_bucketed_ann(spark, sf_dir):
     """X2 LSH-bucketed ANN: 8-bit random-hyperplane signatures bucket the
-    corpus; queries probe their bucket + all 1-bit flips and rank by exact
+    corpus; queries probe their bucket + all 1-2-bit flips and rank by exact
     cosine within candidates.  Recall vs x2_cosine_topk asserted in tests."""
     return similarity.lsh_bucketed_ann(
         _t(spark, sf_dir, "embeddings"), k=5, n_queries=20, n_bits=8
+    )
+
+
+@query("x2_ivf_ann")  # deterministic but assignment-argmax heavy -> rows-only
+def x2_ivf_ann(spark, sf_dir):
+    """X2 IVF-bucketed ANN: Voronoi cells around 16 deterministic centroids,
+    4-probe search, exact cosine ranking within the probed cells.  Recall vs
+    x2_cosine_topk asserted in tests/test_ext_operators.py."""
+    return similarity.ivf_bucketed_ann(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=20, n_centroids=16, n_probe=4
     )
 
 

@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the plan *shape* is part of the product.
+
+Each assertion pins a property that matters at 100 TB (SURVEY.md §4 / the
+north star): filters reaching the parquet scan, column pruning, broadcast
+choice for bounded dimensions, and shuffle counts.  If a refactor silently
+turns a broadcast join into a sort-merge join or widens a scan to all
+columns, these tests fail even though results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark import registry
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+
+
+def _final_plan(df) -> str:
+    df.count()  # materialize so AQE reaches its final plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["flagship_valid_cohort"](spark, sf_dir))
+    # the 2-column orders projection must prune the scan
+    m = re.search(r"ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>", plan)
+    assert m, "orders scan not pruned to the 2 needed columns"
+    # the case_nbr IS NOT NULL filter must be pushed to the orders scan
+    assert re.search(r"PushedFilters: \[.*IsNotNull\(o_orderpriority\)", plan)
+    # cutoff dim and collisions side are broadcast (bounded build sides)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the status log shuffles on collision_id for the join and both window
+    # passes reuse it: at most 2 data exchanges before the final sort
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles <= 3, f"too many shuffles in flagship plan: {n_shuffles}\n{plan}"
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the shuffle (partial_sum below the
+    # Exchange, final above) — the combine that keeps the shuffle tiny
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["q5_star_join_revenue"](spark, sf_dir))
+    # nation + region are broadcast; customer may be too at test scale
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_decode_chain_all_broadcast(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["j6_decode_chain"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_meta_scan_prunes_to_text(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["x4_media_meta_summary"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "text:string", (
+        f"metadata summary should scan only text, got {m and m.group(1)}"
+    )
+
+
+def test_a4_single_shuffle(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["a4_argmax_latest_event"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles == 1, f"max_by argmax should be one shuffle, got {n_shuffles}"
+
+
+def test_semi_join_pushes_projection(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["j4_semi_filter"](spark, sf_dir))
+    # customer side scans only the 2 columns the semi-join needs
+    assert re.search(r"ReadSchema: struct<c_custkey:bigint,c_acctbal:double>", plan)
+    assert "LeftSemi" in plan
+
+
+def test_window_reuses_join_partitioning(spark, sf_dir):
+    """Both flagship window passes run on the collision_id partitioning of
+    the join output — no extra exchange between W1 and W2."""
+    df = registry.QUERIES["w2_p10_latest_status"](spark, sf_dir)
+    plan = _final_plan(df)
+    # the tree prints W2 first, W1 deeper; the region between the two Window
+    # operators must contain no Exchange (only a local Sort)
+    lines = plan.splitlines()
+    window_idx = [i for i, l in enumerate(lines) if re.search(r"\bWindow \[", l)]
+    assert len(window_idx) == 2, f"expected 2 window passes, got {len(window_idx)}"
+    between = lines[window_idx[0] + 1 : window_idx[1]]
+    assert not any("Exchange" in l for l in between), (
+        "W2 re-rank introduced an extra shuffle; it must reuse W1's partitioning:\n"
+        + "\n".join(between)
+    )
+    # and the whole two-window pipeline rides on <= 2 key shuffles overall
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles <= 2, f"too many shuffles: {n_shuffles}"
