@@ -74,6 +74,28 @@ class ParquetSink:
             return True
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into ``n_buckets``
+    files by ``bucket_by`` at WRITE time.  Joins/aggregations between tables
+    bucketed on the same key with the same bucket count need NO shuffle at
+    read time — the pre-partitioning the reference could never express, and
+    the cheapest big-big join strategy at 100 TB (pay the shuffle once,
+    reuse it every query).  Shuffle elimination is asserted in
+    tests/test_scale_ops.py."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     sink: JdbcSource,

@@ -1,0 +1,78 @@
+"""Property-based check: the union+window as-of join must agree with
+DuckDB's native ASOF JOIN on arbitrary small inputs — including duplicate
+probe timestamps, empty right sides, keys with no quotes, and equal-time
+probe/quote collisions (the inclusive boundary)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_for_ecol_fusion_database_spark.operators.joins import asof_join_backward
+
+KEYS = st.integers(min_value=0, max_value=3)
+TIMES = st.integers(min_value=0, max_value=50)
+VALS = st.integers(min_value=0, max_value=1000)
+
+probes = st.lists(st.tuples(KEYS, TIMES), min_size=1, max_size=25)
+# unique (key, time) on the quote side: the as-of result is otherwise
+# nondeterministic (documented operator precondition)
+quotes = st.lists(st.tuples(KEYS, TIMES, VALS), max_size=25, unique_by=lambda q: (q[0], q[1]))
+
+
+@given(probes=probes, quotes=quotes)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_matches_duckdb(spark, probes, quotes):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probes)], "k LONG, t LONG, probe_id LONG"
+    )
+    right_rows = [(k, t, v) for (k, t, v) in quotes]
+    right = spark.createDataFrame(right_rows or [(None, None, None)], "k LONG, qt LONG, v LONG")
+    if not right_rows:
+        right = right.filter("k IS NOT NULL")
+    got = {
+        (r.probe_id, r.asof_v)
+        for r in asof_join_backward(
+            left, right, on="k", left_time="t", right_time="qt", payload=["v"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE probes(k BIGINT, t BIGINT, probe_id BIGINT)")
+    con.executemany(
+        "INSERT INTO probes VALUES (?, ?, ?)",
+        [(k, t, i) for i, (k, t) in enumerate(probes)],
+    )
+    con.execute("CREATE TABLE quotes(k BIGINT, qt BIGINT, v BIGINT)")
+    if right_rows:
+        con.executemany("INSERT INTO quotes VALUES (?, ?, ?)", right_rows)
+    expected = set(
+        con.execute(
+            """
+            SELECT p.probe_id, q.v
+            FROM probes p ASOF LEFT JOIN quotes q
+              ON p.k = q.k AND p.t >= q.qt
+            """
+        ).fetchall()
+    )
+    assert got == expected
+
+
+def test_asof_exclusive_boundary(spark):
+    """inclusive=False: an equal-time quote must NOT be visible."""
+    left = spark.createDataFrame([(1, 10, 0)], "k LONG, t LONG, probe_id LONG")
+    right = spark.createDataFrame([(1, 10, 99), (1, 5, 42)], "k LONG, qt LONG, v LONG")
+    incl = asof_join_backward(
+        left, right, on="k", left_time="t", right_time="qt", payload=["v"]
+    ).collect()
+    excl = asof_join_backward(
+        left, right, on="k", left_time="t", right_time="qt", payload=["v"], inclusive=False
+    ).collect()
+    assert incl[0].asof_v == 99
+    assert excl[0].asof_v == 42

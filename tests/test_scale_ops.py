@@ -1,0 +1,104 @@
+"""Scale-technique operators: salted aggregation/join equivalence and
+bucketed-table shuffle elimination."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+from etl_for_ecol_fusion_database_spark.operators import skew
+from etl_for_ecol_fusion_database_spark.sources import writers
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_salted_groupby_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    salted = skew.salted_groupby(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_quantity"),
+            "min_ship": ("min", "l_shipdate"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salt=16,
+    )
+    cols = ["l_returnflag", "sum_qty", "n", "min_ship", "max_price"]
+    # sums of doubles: compare with rounding (combine order differs)
+    a = [(r[0], round(r[1], 6), r[2], r[3], round(r[4], 6)) for r in _rows(plain, cols)]
+    b = [(r[0], round(r[1], 6), r[2], r[3], round(r[4], 6)) for r in _rows(salted, cols)]
+    assert a == b
+
+
+def test_salted_groupby_rejects_non_algebraic(spark, sf_dir):
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        skew.salted_groupby(li, ["l_returnflag"], {"avg_q": ("avg", "l_quantity")})
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = skew.salted_join(orders, customer, "o_custkey", n_salt=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert _rows(plain, ["o_orderkey", "c_mktsegment"]) == _rows(
+        salted, ["o_orderkey", "c_mktsegment"]
+    )
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    # warehouse.dir is static conf — park the test DB at an explicit location
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path / 'wh'}'")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt.b_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt.b_lineitem")
+    writers.write_bucketed(orders, "bkt.b_orders", bucket_by="o_orderkey", n_buckets=8)
+    writers.write_bucketed(
+        lineitem, "bkt.b_lineitem", bucket_by="o_orderkey", n_buckets=8
+    )
+    a = spark.table("bkt.b_orders")
+    b = spark.table("bkt.b_lineitem")
+    # force a non-broadcast join so the shuffle question is real
+    joined = a.hint("merge").join(b, "o_orderkey").groupBy("o_orderstatus").count()
+    joined.count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the JOIN reads both bucketed scans directly — no exchange below the
+    # SortMergeJoin; the only shuffle is the later groupBy on a different key
+    join_pos = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_pos:], (
+        f"bucketed join inputs were shuffled:\n{plan}"
+    )
+    assert plan.count("Bucketed: true") == 2
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert exchanges == ["o_orderstatus"], exchanges
+    # and results match the unbucketed join
+    plain = (
+        orders.join(lineitem, "o_orderkey").groupBy("o_orderstatus").count()
+    )
+    assert _rows(joined, ["o_orderstatus", "count"]) == _rows(
+        plain, ["o_orderstatus", "count"]
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt.b_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt.b_lineitem")
+    spark.sql("DROP DATABASE IF EXISTS bkt")
