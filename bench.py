@@ -31,7 +31,9 @@ HEADLINE = [
     "flagship_valid_cohort",
     "fusion_etl_collisions",
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_star_join_revenue",
+    "q18_large_orders",
     "j2_w1_status_rank",
     "a4_argmax_latest_event",
     # extension operators (present from round 1+; keep list in sync with registry)

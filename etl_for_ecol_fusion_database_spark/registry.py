@@ -714,6 +714,158 @@ def q5_star_join_revenue(spark, sf_dir):
     )
 
 
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Shipping-priority top-k (TPC-H Q3 shape): selective dimension filter
+    pushed to the customer scan, two fact joins, grouped revenue, global
+    top-20 (TakeOrderedAndProject — no full sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(o.o_totalprice AS DECIMAL(38,6)) AS totalprice,
+       SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS sum_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+""",
+)
+def q18_large_orders(spark, sf_dir):
+    """Large-volume-order customers (TPC-H Q18 shape): HAVING over a
+    grouped sum feeding a semi-join back into the fact — two aggregations
+    over the same l_orderkey partitioning (the second reuses the first's
+    shuffle)."""
+    l = _t(spark, sf_dir, "lineitem")
+    dec_qty = F.col("l_quantity").cast("decimal(38,6)")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec_qty).alias("s"))
+        .filter(F.col("s") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.big_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            l.select(F.col("l_orderkey").alias("li_orderkey"), "l_quantity"),
+            o.o_orderkey == F.col("li_orderkey"),
+        )
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec_qty).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(38,6)").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@query(
+    "x3_profile_lineitem",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(MIN(l_quantity) AS DECIMAL(38,6)) AS min_qty,
+       CAST(MAX(l_quantity) AS DECIMAL(38,6)) AS max_qty,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship,
+       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags
+FROM lineitem
+""",
+)
+def x3_profile_lineitem(spark, sf_dir):
+    """Data-profiling rollup (training-data hygiene surface): exact
+    cardinalities, ranges and null counts in one pass.  The approximate
+    companion (HLL/quantile sketches) is x3_profile_sketch."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_quantity").cast("decimal(38,6)").alias("min_qty"),
+        F.max("l_quantity").cast("decimal(38,6)").alias("max_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias("null_flags"),
+    )
+
+
+@query("x3_profile_sketch")  # approximate (HLL / KLL sketches) -> rows-only
+def x3_profile_sketch(spark, sf_dir):
+    """Sketch-based profiling: approx_count_distinct (HyperLogLog++) and
+    approx_percentile — constant memory per column at any scale, the form
+    that survives 100 TB where exact distinct cannot.  Accuracy vs the exact
+    profile asserted in tests/test_parity.py::test_sketch_accuracy."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_quantity", [0.5, 0.95, 0.99], 10000).alias("qty_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+    )
+
+
 # ===========================================================================
 # S17 / S5 — the SQL surface: the flagship expressed as Spark SQL text over
 # registered temp views (CREATE OR REPLACE VIEW + query-the-view, the way

@@ -24,6 +24,17 @@ def test_every_query_runs(spark, sf_dir):
         assert df.count() >= 0, name
 
 
+def test_sketch_accuracy(spark, sf_dir):
+    """HLL/quantile sketches must land within their configured error of the
+    exact profile."""
+    exact = registry.QUERIES["x3_profile_lineitem"](spark, sf_dir).collect()[0]
+    approx = registry.QUERIES["x3_profile_sketch"](spark, sf_dir).collect()[0]
+    assert abs(approx.approx_orders - exact.n_orders) / exact.n_orders < 0.05
+    assert abs(approx.approx_parts - exact.n_parts) / exact.n_parts < 0.05
+    assert float(exact.min_qty) <= approx.qty_quantiles[0] <= float(exact.max_qty)
+    assert approx.qty_quantiles == sorted(approx.qty_quantiles)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
