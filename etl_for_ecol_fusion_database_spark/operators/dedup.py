@@ -221,6 +221,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     n_bands: int = 8,
     threshold: float = 0.1,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard on the candidates only.
@@ -230,6 +231,15 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) — duplicate-heavy keys stay together, everything
     else never meets (the property that makes this run at 100 TB where the
     O(n²) exact join cannot).
+
+    ``max_bucket_size`` is production-MinHash hygiene: a band bucket with k
+    members yields k² candidate pairs, so one boilerplate-heavy bucket
+    (identical headers/footers across millions of docs) would go quadratic.
+    Buckets larger than the cap are dropped from candidate generation — the
+    docs inside them are exact/near-exact duplicates of *many* others and
+    still pair up through their other (n_bands - 1) bands unless the whole
+    signature is degenerate.  Pass ``None`` to disable (test/ground-truth
+    use).  Use ``lsh_dropped_buckets`` to audit what the cap excluded.
     """
     r = num_hashes // n_bands
     sh = shingle_rows(df, id_col, text_col, n)  # (id, shingle) rows, codegen
@@ -249,6 +259,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        # window count reuses the (band_idx, band_hash) hash partitioning the
+        # self-join needs anyway — no extra shuffle, no collect
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -287,6 +306,40 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_dropped_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    num_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Audit companion to ``minhash_lsh_pairs``: the band buckets the cap
+    excluded, with member counts — run (and log) this beside the dedup job so
+    'what was dropped' is observable, not silent."""
+    r = num_hashes // n_bands
+    sh = shingle_rows(df, id_col, text_col, n)
+    sigs = minhash_signatures_df(sh, num_hashes=num_hashes)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -39,21 +40,30 @@ def asof_join_backward(
     over (key ORDER BY time, side) — quotes sort before probes at equal
     time when inclusive (so an equal-time quote is visible to the probe),
     after them when exclusive.
+
+    The payload travels as ONE struct column so every output column comes
+    from the *same* matched quote row — per-column ``last(ignorenulls)``
+    would let a NULL in one payload column fall back to an older quote while
+    its siblings came from the newer one (row tearing, diverging from
+    ASOF JOIN semantics which preserve the matched row's NULLs).
     """
     quote_side, probe_side = (0, 1) if inclusive else (1, 0)
     lcols = left.columns
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in payload]
+    )
     q = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(quote_side).alias("_side"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     p = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(probe_side).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(payload_type).alias("_p"),
         *[F.col(c) for c in lcols],
     )
     w = (
@@ -62,12 +72,8 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = q.unionByName(p).select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload
-        ],
+        "*", F.last("_p", ignorenulls=True).over(w).alias("_asof")
     )
     return merged.filter(F.col("_side") == probe_side).select(
-        *lcols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in payload]
+        *lcols, *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload]
     )

@@ -24,6 +24,14 @@ _COMBINE = {
 }
 
 
+def _row_salt(n_salt: int) -> Column:
+    """Per-row deterministic salt in [0, n_salt): hash of the row's position
+    within its split.  Spreads a hot key even when it is clustered into a
+    single input partition (where a partition-id salt would collapse to one
+    value)."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
+
+
 def salted_groupby(
     df: DataFrame,
     keys: list[str],
@@ -38,13 +46,15 @@ def salted_groupby(
     skew.  Only algebraic aggregates (sum/count/min/max) are accepted; they
     recombine exactly.
 
-    The salt is derived from ``spark_partition_id()`` — deterministic per
-    input split, no extra entropy column needed.
+    The salt is a per-ROW hash (not per-partition): a hot key concentrated
+    in one input split — data sorted or pre-partitioned by that key, the
+    common clustered-skew case — would get a single salt value from
+    ``spark_partition_id()`` and degrade back to the unsalted plan.
     """
     for name, (kind, _col) in aggs.items():
         if kind not in ("sum", "count", "min", "max"):
             raise ValueError(f"{name}: non-algebraic aggregate {kind!r} cannot be salted")
-    salted = df.withColumn("_salt", F.spark_partition_id() % n_salt)
+    salted = df.withColumn("_salt", _row_salt(n_salt))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
             (F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(col)).alias(
@@ -78,7 +88,7 @@ def salted_join(
     genuinely small — the same regime where broadcast would apply; use this
     form when the small side exceeds the broadcast threshold but a 1-to-n
     replication still fits)."""
-    salted_left = skewed.withColumn("_salt", F.spark_partition_id() % n_salt)
+    salted_left = skewed.withColumn("_salt", _row_salt(n_salt))
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )

@@ -129,15 +129,19 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint_rolling(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint: min xxhash64 over all
-    ``window``-grams of the normalized text.  xxhash64 is Spark-specific →
-    rows-only correctness check (no DuckDB oracle)."""
-    norm = normalize_text(text_col)
+    ``window``-grams of the NORMALIZED text (so both rolling_fp and exact_fp
+    are invariant under whitespace-only edits).  xxhash64 is Spark-specific →
+    rows-only correctness check (no DuckDB oracle).
+
+    Normalization is bound to a named intermediate column so the regexp
+    pipeline evaluates once per row, not once per gram."""
+    normed = df.select("doc_id", normalize_text(text_col).alias("_norm"))
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)), "
-        f"i -> substring(lower({text_col}), i, {window}))"
+        f"transform(sequence(1, greatest(length(_norm) - {window - 1}, 1)), "
+        f"i -> substring(_norm, i, {window}))"
     )
-    return df.select(
+    return normed.select(
         "doc_id",
         F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("rolling_fp"),
-        F.md5(norm).alias("exact_fp"),
+        F.md5(F.col("_norm")).alias("exact_fp"),
     )

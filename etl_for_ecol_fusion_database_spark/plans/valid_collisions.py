@@ -184,6 +184,62 @@ def valid_collision_view(
     return out
 
 
+def valid_flag_view(
+    status_history: DataFrame,
+    collisions: DataFrame,
+    cutoffs: DataFrame,
+    valid_statuses=VALID_STATUSES,
+    max_case_year: int = 1998,
+) -> DataFrame:
+    """The Option-1 final SELECT (sql:109-141, the commented variant the
+    reference keeps beside Option 2): instead of filtering to the valid
+    cohort, derive ``valid_at_cutoff_flag`` (CASE WHEN status in the valid
+    set THEN 1 ELSE 0), LEFT JOIN the full collisions fact, filter by the
+    fact's case year (EXTRACT(YEAR FROM occurence_timestamp) <= Y, sql:132),
+    and order by collision_id (sql:134).
+
+    ``collisions`` must expose id, case_nbr, pfn_file_nbr,
+    occurence_timestamp, reported_timestamp (see
+    ``fixture_collisions_full``).  Timestamps are emitted as formatted
+    strings per the registry's cross-engine canon convention.
+    """
+    csoc = latest_status(
+        status_on_cutoff(
+            with_cutoff(with_case_year(earliest_created(status_history)), cutoffs),
+            status_history,
+        )
+    )
+    flag = (
+        F.when(F.col("coll_status_type_id").isin(*valid_statuses), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        csoc.join(collisions, csoc.collision_id == collisions.id, "left")
+        .filter(F.year("occurence_timestamp") <= max_case_year)
+        .select(
+            csoc.collision_id,
+            csoc.created_year,
+            F.year("occurence_timestamp").cast("int").alias("case_year"),
+            csoc.cutoff_end_date,
+            csoc.coll_status_type_id,
+            F.date_format("effective_date", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "effective_date"
+            ),
+            collisions.case_nbr,
+            collisions.pfn_file_nbr,
+            F.date_format("occurence_timestamp", "yyyy-MM-dd HH:mm:ss").alias(
+                "occurence_timestamp"
+            ),
+            F.date_format("reported_timestamp", "yyyy-MM-dd HH:mm:ss").alias(
+                "reported_timestamp"
+            ),
+            flag.alias("valid_at_cutoff_flag"),
+        )
+        .orderBy("collision_id")
+    )
+
+
 def fixture_status_history(events: DataFrame) -> DataFrame:
     """Adapt the events fixture to the reference's CL_STATUS_HISTORY shape
     (FIXTURES.md mapping: user_id≈collision_id, event_type≈status code,
@@ -205,6 +261,19 @@ def fixture_collisions(orders: DataFrame) -> DataFrame:
     )
 
 
+def fixture_collisions_full(orders: DataFrame) -> DataFrame:
+    """Adapt the orders fixture to the Option-1 COLLISIONS fact shape
+    (o_orderkey≈id, o_orderpriority≈case_nbr, o_orderstatus≈pfn_file_nbr,
+    o_orderdate≈occurence_timestamp and reported_timestamp)."""
+    return orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("case_nbr"),
+        F.col("o_orderstatus").alias("pfn_file_nbr"),
+        F.col("o_orderdate").alias("occurence_timestamp"),
+        F.col("o_orderdate").alias("reported_timestamp"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry-point flavor: run the flagship on the fixture tables."""
     from ..catalog import load_table
@@ -214,5 +283,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid_collision_view(
         fixture_status_history(events),
         fixture_collisions(orders),
+        cutoff_dates_df(spark),
+    )
+
+
+def flagship_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry-point flavor of the Option-1 flag variant on fixture tables."""
+    from ..catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return valid_flag_view(
+        fixture_status_history(events),
+        fixture_collisions_full(orders),
         cutoff_dates_df(spark),
     )

@@ -135,6 +135,42 @@ def flagship_valid_cohort(spark, sf_dir):
     return vc.flagship(spark, sf_dir)
 
 
+_FLAG_CASE = (
+    f"CASE WHEN l.coll_status_type_id = '{vc.VALID_STATUSES[0]}' THEN 1 "
+    f"WHEN l.coll_status_type_id = '{vc.VALID_STATUSES[1]}' THEN 1 "
+    "ELSE 0 END"
+)
+
+
+@query(
+    "flagship_valid_flag_cohort",
+    oracle=_FLAGSHIP_CTES
+    + f"""
+SELECT l.collision_id,
+       l.created_year,
+       CAST(EXTRACT(YEAR FROM c.o_orderdate) AS INT) AS case_year,
+       l.cutoff_end_date,
+       l.coll_status_type_id,
+       strftime(l.effective_date, '%Y-%m-%d %H:%M:%S.%f') AS effective_date,
+       c.o_orderpriority AS case_nbr,
+       c.o_orderstatus AS pfn_file_nbr,
+       strftime(c.o_orderdate, '%Y-%m-%d %H:%M:%S') AS occurence_timestamp,
+       strftime(c.o_orderdate, '%Y-%m-%d %H:%M:%S') AS reported_timestamp,
+       CAST({_FLAG_CASE} AS INT) AS valid_at_cutoff_flag
+FROM latest l
+LEFT JOIN orders c ON l.collision_id = c.o_orderkey
+WHERE EXTRACT(YEAR FROM c.o_orderdate) <= 1998
+ORDER BY l.collision_id
+""",
+)
+def flagship_valid_flag_cohort(spark, sf_dir):
+    """The Option-1 final SELECT of the flagship view
+    (create_view_vw_valid_collision_from_oracle.sql:109-141): CASE WHEN
+    valid_at_cutoff_flag derivation + LEFT JOIN to the full collisions fact
+    + case-year filter, ordered by collision_id."""
+    return vc.flagship_flag(spark, sf_dir)
+
+
 # ===========================================================================
 # U1 / F1 — literal-table union constructor
 # ===========================================================================
@@ -631,10 +667,10 @@ def o1_sort_desc(spark, sf_dir):
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
@@ -645,7 +681,9 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark, sf_dir):
     """Pricing-summary rollup (TPC-H Q1 shape) — map-side partial agg +
     single shuffle on the 6-group key; DECIMAL(38,6) accumulation keeps the
-    distributed sum exact and order-insensitive."""
+    distributed sum exact and order-insensitive, and the final projection
+    casts to DOUBLE so both engines render the identical exact sum as the
+    same float64 (driver canonicalizes through pandas)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-06-30 00:00:00").cast("timestamp")
     )
@@ -653,18 +691,20 @@ def q1_pricing_summary(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "sum_disc_price"
-            ),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(
                 dec(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 )
-            ).alias("sum_charge"),
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -675,7 +715,7 @@ def q1_pricing_summary(spark, sf_dir):
     "q5_star_join_revenue",
     oracle="""
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -707,7 +747,9 @@ def q5_star_join_revenue(spark, sf_dir):
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(38,6)"
                 )
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"))
@@ -718,7 +760,7 @@ def q5_star_join_revenue(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
        o.o_orderpriority
 FROM customer c
@@ -752,7 +794,9 @@ def q3_shipping_priority(spark, sf_dir):
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(38,6)"
                 )
-            ).alias("revenue")
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -775,8 +819,8 @@ WITH big AS (
 )
 SELECT c.c_name, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-       CAST(o.o_totalprice AS DECIMAL(38,6)) AS totalprice,
-       SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS sum_qty
+       CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
 FROM orders o
 JOIN big ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -808,12 +852,12 @@ def q18_large_orders(spark, sf_dir):
             o.o_orderkey == F.col("li_orderkey"),
         )
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec_qty).alias("sum_qty"))
+        .agg(F.sum(dec_qty).cast("double").alias("sum_qty"))
         .select(
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.col("o_totalprice").cast("decimal(38,6)").alias("totalprice"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
             "sum_qty",
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
@@ -826,8 +870,8 @@ def q18_large_orders(spark, sf_dir):
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        COUNT(DISTINCT l_partkey) AS n_parts,
-       CAST(MIN(l_quantity) AS DECIMAL(38,6)) AS min_qty,
-       CAST(MAX(l_quantity) AS DECIMAL(38,6)) AS max_qty,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
        strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
        strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship,
        SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags
@@ -843,8 +887,8 @@ def x3_profile_lineitem(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.min("l_quantity").cast("decimal(38,6)").alias("min_qty"),
-        F.max("l_quantity").cast("decimal(38,6)").alias("max_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
         F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias("null_flags"),
@@ -856,13 +900,20 @@ def x3_profile_sketch(spark, sf_dir):
     """Sketch-based profiling: approx_count_distinct (HyperLogLog++) and
     approx_percentile — constant memory per column at any scale, the form
     that survives 100 TB where exact distinct cannot.  Accuracy vs the exact
-    profile asserted in tests/test_parity.py::test_sketch_accuracy."""
+    profile asserted in tests/test_parity.py::test_sketch_accuracy.
+    Quantiles are emitted as scalar columns (not an array) so the driver's
+    pandas canonicalizer can sort/hash the row."""
     l = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_quantity", [0.5, 0.95, 0.99], 10000)
     return l.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_quantity", [0.5, 0.95, 0.99], 10000).alias("qty_quantiles"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price"),
+        q.getItem(0).cast("double").alias("qty_q50"),
+        q.getItem(1).cast("double").alias("qty_q95"),
+        q.getItem(2).cast("double").alias("qty_q99"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .cast("double")
+        .alias("median_price"),
     )
 
 

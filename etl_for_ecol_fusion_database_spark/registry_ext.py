@@ -200,6 +200,42 @@ def x2_ivf_ann(spark, sf_dir):
     )
 
 
+_COSINE_TOPK_ORACLE = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine
+    FROM base q JOIN base c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 20
+),
+ranked AS (
+    SELECT q_id, cand_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("x2_ivf_full_probe", oracle=_COSINE_TOPK_ORACLE)
+def x2_ivf_full_probe(spark, sf_dir):
+    """X2 IVF ANN in full-probe configuration (n_probe == n_centroids):
+    provably identical to brute-force top-k (every cell is probed, so the
+    candidate set is the whole corpus) — checked against the exact
+    brute-force oracle, which also validates the IVF plumbing (cell
+    assignment + probe join + in-cell ranking) end to end.  The 4-probe
+    flavor above is the scale configuration (rows-only + recall tests)."""
+    return similarity.ivf_bucketed_ann(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=20, n_centroids=16, n_probe=16
+    )
+
+
 # ===========================================================================
 # X3 — text analysis
 # ===========================================================================
@@ -365,9 +401,30 @@ def x4_binary_meta(spark, sf_dir):
 def x4_media_decode(spark, sf_dir):
     """X4 multimodal decode plumbing: documents -> opaque media BLOBs ->
     Arrow-batched (fake) decoder via mapInPandas; real codec is a marked
-    stub (operators/multimodal.py)."""
+    stub (operators/multimodal.py).  The feature vector is serialized with
+    to_json for the driver (array cells are unhashable in its pandas
+    canonicalizer); downstream consumers use decode_media directly and get
+    the typed array<float>."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_media(media)
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "doc_id", "n_bytes", F.to_json(F.col("feature")).alias("feature_json")
+    )
+
+
+@query(
+    "x4_media_decode_meta",
+    oracle="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def x4_media_decode_meta(spark, sf_dir):
+    """X4 decode metadata path with a full oracle: the mapInPandas decoder's
+    doc_id/n_bytes output checked exactly against DuckDB's byte lengths —
+    proves the Arrow batch plumbing preserves row identity and sizes."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media).select("doc_id", "n_bytes")
 
 
 @query(
@@ -397,7 +454,7 @@ def x4_media_meta_summary(spark, sf_dir):
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -411,13 +468,41 @@ def x5_tumbling_hourly(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+@query(
+    "x5_sliding_counts",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, (VALUES (0), (1)) t(k)
+GROUP BY 1, 2
+""",
+)
+def x5_sliding_counts(spark, sf_dir):
+    """X5 sliding event-time windows (1h window / 30min slide) — batch twin
+    of streaming/events_stream.sliding_counts.  The oracle replays Spark's
+    pane assignment by generating both covering slide offsets per event
+    (every event lands in window/slide = 2 panes)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
         )
     )
 

@@ -129,6 +129,8 @@ def generate_create_table_ddl(
     using: str = "parquet",
     extra_columns: dict[str, str] | None = None,
     comment: str | None = None,
+    primary_key: str | None = None,
+    foreign_keys: list[tuple[str, str, str]] | None = None,
 ) -> str:
     """S9: emit Spark SQL ``CREATE TABLE`` DDL from a StructType.
 
@@ -138,6 +140,14 @@ def generate_create_table_ddl(
     The reference's idempotency guards (`IF NOT EXISTS` emulation via
     ``DO $$`` blocks, ingest_ecollision_analytics_data.py:33-40) become the
     native ``IF NOT EXISTS`` clause.
+
+    ``primary_key`` / ``foreign_keys`` reproduce the reference's
+    constraint-carrying DDL (PK/FK clauses generated from Oracle
+    user_constraints, ingest_ecollision_oracle_data.py:29-41).  Spark SQL
+    cannot *enforce* either, so they are emitted as TBLPROPERTIES metadata —
+    discoverable by downstream tooling, semantically documented, never
+    silently dropped.  ``foreign_keys`` entries are
+    (column, ref_table, ref_column).
     """
     cols = [
         f"  {f.name} {f.dataType.simpleString().upper()}{'' if f.nullable else ' NOT NULL'}"
@@ -147,9 +157,38 @@ def generate_create_table_ddl(
         cols.append(f"  {name} {sql_type}")
     ine = "IF NOT EXISTS " if if_not_exists else ""
     ddl = f"CREATE TABLE {ine}{table} (\n" + ",\n".join(cols) + f"\n) USING {using}"
+    props: list[tuple[str, str]] = []
+    if primary_key:
+        props.append(("constraints.primary_key", primary_key))
+    for i, (col, ref_table, ref_col) in enumerate(foreign_keys or []):
+        props.append((f"constraints.foreign_key.{i}", f"{col} REFERENCES {ref_table}({ref_col})"))
+    if props:
+        ddl += (
+            " TBLPROPERTIES (\n"
+            + ",\n".join(f"  '{k}' = '{v}'" for k, v in props)
+            + "\n)"
+        )
     if comment:
         ddl += f" COMMENT '{comment}'"
     return ddl
+
+
+def generate_create_table_ddl_for(
+    table: str, schema: T.StructType, **kwargs
+) -> str:
+    """Convenience flavor that pulls PK/FK metadata from the catalog's
+    constraint registries (catalog.PRIMARY_KEYS / catalog.FOREIGN_KEYS) —
+    the path the fusion ETL uses so generated DDL always carries the
+    declared constraints."""
+    from .catalog import FOREIGN_KEYS, PRIMARY_KEYS
+
+    return generate_create_table_ddl(
+        table,
+        schema,
+        primary_key=PRIMARY_KEYS.get(table),
+        foreign_keys=FOREIGN_KEYS.get(table),
+        **kwargs,
+    )
 
 
 def generate_drop_table_ddl(table: str) -> str:

@@ -14,12 +14,16 @@ from etl_for_ecol_fusion_database_spark.operators.joins import asof_join_backwar
 
 KEYS = st.integers(min_value=0, max_value=3)
 TIMES = st.integers(min_value=0, max_value=50)
-VALS = st.integers(min_value=0, max_value=1000)
+# nullable payloads: a NULL in one payload column of the matched quote must
+# surface as NULL (not fall back to an older quote) — the row-tearing case
+VALS = st.one_of(st.none(), st.integers(min_value=0, max_value=1000))
 
 probes = st.lists(st.tuples(KEYS, TIMES), min_size=1, max_size=25)
 # unique (key, time) on the quote side: the as-of result is otherwise
 # nondeterministic (documented operator precondition)
-quotes = st.lists(st.tuples(KEYS, TIMES, VALS), max_size=25, unique_by=lambda q: (q[0], q[1]))
+quotes = st.lists(
+    st.tuples(KEYS, TIMES, VALS, VALS), max_size=25, unique_by=lambda q: (q[0], q[1])
+)
 
 
 @given(probes=probes, quotes=quotes)
@@ -32,14 +36,16 @@ def test_asof_matches_duckdb(spark, probes, quotes):
     left = spark.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(probes)], "k LONG, t LONG, probe_id LONG"
     )
-    right_rows = [(k, t, v) for (k, t, v) in quotes]
-    right = spark.createDataFrame(right_rows or [(None, None, None)], "k LONG, qt LONG, v LONG")
+    right_rows = [(k, t, v, v2) for (k, t, v, v2) in quotes]
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None, None)], "k LONG, qt LONG, v LONG, v2 LONG"
+    )
     if not right_rows:
         right = right.filter("k IS NOT NULL")
     got = {
-        (r.probe_id, r.asof_v)
+        (r.probe_id, r.asof_v, r.asof_v2)
         for r in asof_join_backward(
-            left, right, on="k", left_time="t", right_time="qt", payload=["v"]
+            left, right, on="k", left_time="t", right_time="qt", payload=["v", "v2"]
         ).collect()
     }
 
@@ -49,19 +55,33 @@ def test_asof_matches_duckdb(spark, probes, quotes):
         "INSERT INTO probes VALUES (?, ?, ?)",
         [(k, t, i) for i, (k, t) in enumerate(probes)],
     )
-    con.execute("CREATE TABLE quotes(k BIGINT, qt BIGINT, v BIGINT)")
+    con.execute("CREATE TABLE quotes(k BIGINT, qt BIGINT, v BIGINT, v2 BIGINT)")
     if right_rows:
-        con.executemany("INSERT INTO quotes VALUES (?, ?, ?)", right_rows)
+        con.executemany("INSERT INTO quotes VALUES (?, ?, ?, ?)", right_rows)
     expected = set(
         con.execute(
             """
-            SELECT p.probe_id, q.v
+            SELECT p.probe_id, q.v, q.v2
             FROM probes p ASOF LEFT JOIN quotes q
               ON p.k = q.k AND p.t >= q.qt
             """
         ).fetchall()
     )
     assert got == expected
+
+
+def test_asof_null_payload_no_row_tearing(spark):
+    """The matched quote's NULL must be preserved: per-column
+    last(ignorenulls) would tear the row — asof_a falling back to the older
+    quote while asof_b comes from the newer one."""
+    left = spark.createDataFrame([(1, 12, 0)], "k LONG, t LONG, probe_id LONG")
+    right = spark.createDataFrame(
+        [(1, 5, 1, 10), (1, 10, None, 20)], "k LONG, qt LONG, a LONG, b LONG"
+    )
+    out = asof_join_backward(
+        left, right, on="k", left_time="t", right_time="qt", payload=["a", "b"]
+    ).collect()
+    assert out[0].asof_a is None and out[0].asof_b == 20
 
 
 def test_asof_exclusive_boundary(spark):

@@ -108,15 +108,39 @@ def test_media_real_decode_is_marked_stub():
 
 
 def test_rolling_fingerprint_whitespace_invariance(spark, sf_dir):
-    """exact_fp (md5 of normalized text) must be invariant under
-    whitespace-only edits; rolling_fp must be deterministic."""
+    """BOTH fingerprints are computed over normalized text, so both must be
+    invariant under whitespace-only edits (and deterministic)."""
     docs = load_table(spark, sf_dir, "documents").limit(20)
     spaced = docs.select("doc_id", F.regexp_replace("text", " ", "  ").alias("text"))
     from etl_for_ecol_fusion_database_spark.operators.text import fingerprint_rolling
 
-    a = {r.doc_id: r.exact_fp for r in fingerprint_rolling(docs).collect()}
-    b = {r.doc_id: r.exact_fp for r in fingerprint_rolling(spaced).collect()}
+    a = {r.doc_id: (r.exact_fp, r.rolling_fp) for r in fingerprint_rolling(docs).collect()}
+    b = {r.doc_id: (r.exact_fp, r.rolling_fp) for r in fingerprint_rolling(spaced).collect()}
     assert a == b
-    r1 = {r.doc_id: r.rolling_fp for r in fingerprint_rolling(docs).collect()}
-    r2 = {r.doc_id: r.rolling_fp for r in fingerprint_rolling(docs).collect()}
-    assert r1 == r2
+    again = {r.doc_id: (r.exact_fp, r.rolling_fp) for r in fingerprint_rolling(docs).collect()}
+    assert a == again
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark, sf_dir):
+    """A boilerplate-heavy corpus (many identical docs) must not explode
+    into k² candidate pairs: with the default cap the degenerate bucket is
+    dropped; uncapped ground-truth mode still finds the pairs."""
+    base = load_table(spark, sf_dir, "documents").limit(1)
+    clones = spark.range(1000).crossJoin(base.select("text")).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    capped = dedup.minhash_lsh_pairs(clones, n=2, num_hashes=32, n_bands=8, threshold=0.4)
+    # all 8 bands of every clone collide -> every bucket holds 1000 docs ->
+    # cap drops them all; candidate set must be empty (exact dedup owns
+    # identical docs), and crucially this completes without 500k-pair blowup
+    assert capped.count() == 0
+    dropped = dedup.lsh_dropped_buckets(
+        clones, n=2, num_hashes=32, n_bands=8, max_bucket_size=256
+    ).collect()
+    assert len(dropped) == 8 and all(r.n_members == 1000 for r in dropped)
+    # cap disabled -> ground-truth mode still pairs them up
+    uncapped = dedup.minhash_lsh_pairs(
+        clones.limit(30), n=2, num_hashes=32, n_bands=8, threshold=0.4,
+        max_bucket_size=None,
+    )
+    assert uncapped.count() == 30 * 29 // 2

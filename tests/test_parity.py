@@ -24,6 +24,20 @@ def test_every_query_runs(spark, sf_dir):
         assert df.count() >= 0, name
 
 
+ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_results_driver_canonicalizable(spark, sf_dir, name):
+    """The driver canonicalizes EVERY query's Spark result through pandas —
+    even rows-only ones — so unhashable cells (arrays) err there.  Assert
+    each no-oracle query survives the same canonicalization locally."""
+    from .parity import driver_canon_hash
+
+    pdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+    driver_canon_hash(pdf)  # must not raise
+
+
 def test_sketch_accuracy(spark, sf_dir):
     """HLL/quantile sketches must land within their configured error of the
     exact profile."""
@@ -31,8 +45,9 @@ def test_sketch_accuracy(spark, sf_dir):
     approx = registry.QUERIES["x3_profile_sketch"](spark, sf_dir).collect()[0]
     assert abs(approx.approx_orders - exact.n_orders) / exact.n_orders < 0.05
     assert abs(approx.approx_parts - exact.n_parts) / exact.n_parts < 0.05
-    assert float(exact.min_qty) <= approx.qty_quantiles[0] <= float(exact.max_qty)
-    assert approx.qty_quantiles == sorted(approx.qty_quantiles)
+    quantiles = [approx.qty_q50, approx.qty_q95, approx.qty_q99]
+    assert float(exact.min_qty) <= quantiles[0] <= float(exact.max_qty)
+    assert quantiles == sorted(quantiles)
 
 
 def test_entry_smoke(spark):

@@ -42,6 +42,26 @@ def test_salted_groupby_equals_plain(spark, sf_dir):
     assert a == b
 
 
+def test_salt_spreads_clustered_hot_key(spark):
+    """The clustered-skew case: a hot key packed into ONE input partition
+    (data pre-sorted by the key) must still receive many distinct salt
+    values — a partition-id-derived salt would collapse to a single value
+    here and degrade to the unsalted plan."""
+    hot = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    one_split = hot.coalesce(1)
+    n_salts = (
+        one_split.withColumn("_salt", skew._row_salt(16))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 16
+    # and the salted aggregate over that clustered input is still exact
+    out = skew.salted_groupby(one_split, ["k"], {"s": ("sum", "v"), "n": ("count", "v")})
+    row = out.collect()[0]
+    assert (row.k, row.s, row.n) == ("hot", sum(range(10_000)), 10_000)
+
+
 def test_salted_groupby_rejects_non_algebraic(spark, sf_dir):
     import pytest
 

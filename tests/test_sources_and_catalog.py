@@ -72,6 +72,39 @@ def test_ddl_generation_with_lineage_column():
     assert schemas.generate_drop_table_ddl("x") == "DROP TABLE IF EXISTS x"
 
 
+def test_ddl_carries_pk_fk_metadata():
+    """The reference emits PK/FK clauses in generated DDL
+    (ingest_ecollision_oracle_data.py:29-41); Spark can't enforce them, so
+    they must surface as TBLPROPERTIES — pulled from the catalog registries."""
+    from etl_for_ecol_fusion_database_spark import catalog
+
+    st = schemas.build_struct_type([("o_orderkey", "NUMBER(15)", False)])
+    ddl = schemas.generate_create_table_ddl_for("orders", st)
+    assert f"'constraints.primary_key' = '{catalog.PRIMARY_KEYS['orders']}'" in ddl
+    col, ref_table, ref_col = catalog.FOREIGN_KEYS["orders"][0]
+    assert f"'constraints.foreign_key.0' = '{col} REFERENCES {ref_table}({ref_col})'" in ddl
+    # a table with no registered constraints emits no TBLPROPERTIES block
+    assert "TBLPROPERTIES" not in schemas.generate_create_table_ddl("unknown_tbl", st)
+
+
+def test_spark_accepts_ddl_with_constraints(spark, tmp_path):
+    st = schemas.build_struct_type([("o_orderkey", "NUMBER(15)", False)])
+    ddl = schemas.generate_create_table_ddl(
+        "ddl_fk_smoke",
+        st,
+        primary_key="o_orderkey",
+        foreign_keys=[("o_custkey", "customer", "c_custkey")],
+    ) + f" LOCATION '{tmp_path}/ddl_fk_smoke'"
+    spark.sql("DROP TABLE IF EXISTS ddl_fk_smoke")
+    spark.sql(ddl)
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES ddl_fk_smoke").collect()
+    }
+    assert props.get("constraints.primary_key") == "o_orderkey"
+    spark.sql("DROP TABLE IF EXISTS ddl_fk_smoke")
+
+
 def test_spark_accepts_generated_ddl(spark):
     st = schemas.build_struct_type([("id", "NUMBER(15)", False), ("name", "VARCHAR2(10)", True)])
     with tempfile.TemporaryDirectory() as d:
