@@ -43,6 +43,11 @@ HEADLINE = [
     "x3_lang_id",
     "x2_cosine_topk",
     "x1_minhash_near_dup",
+    # round 2+: keep earlier keys stable for round-over-round comparison,
+    # append new coverage at the end
+    "flagship_valid_flag_cohort",
+    "x2_lsh_bucketed_ann",
+    "x5_sliding_counts",
 ]
 
 
