@@ -113,6 +113,102 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*cols)
 
 
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Vocabulary building: token frequency over the normalized corpus,
+    top-k by (count DESC, token ASC) for determinism.  explode + one
+    hash-partitioned count (map-side combine collapses each partition's
+    token multiset before the shuffle) + TakeOrderedAndProject for the
+    top-k — no global sort."""
+    toks = F.explode(F.split(normalize_text(text_col), WS)).alias("token")
+    return (
+        df.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def length_histogram(df: DataFrame, text_col: str = "text", bucket_width: int = 100) -> DataFrame:
+    """Document-length histogram: fixed-width char buckets with counts and
+    exact bucket bounds — the distribution profile a curation pipeline
+    checks before/after filtering."""
+    bucket = F.floor(F.length(text_col) / bucket_width).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), F.length(text_col).alias("n_chars"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def training_data_prep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """Composed training-data prep pipeline: quality filter + language
+    filter + exact dedup in ONE pass — the end-to-end curation shape
+    (C4/Gopher-style) built from the X1/X3 pieces.
+
+    Quality, language-ID, and text normalization are all narrow per-row
+    expressions computed in a single projection (no joins between the
+    stages); the only shuffle is the final dedup groupBy on normalized text,
+    with min-id survivorship and the survivor's stats carried via min_by.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_chars = F.length(text_col)
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    len_norm = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    quality = F.round(
+        F.lit(0.4) * stop_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * len_norm,
+        6,
+    )
+    scores = lang_scores(text_col)
+    langs = list(scores)
+    best = F.greatest(*[scores[x] for x in langs])
+    pred = F.lit("und")
+    for x in reversed(langs):
+        pred = F.when(scores[x] == best, F.lit(x)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(text_col).alias("_norm"),
+        n_tok.cast("int").alias("n_tokens"),
+        quality.alias("quality_score"),
+        pred.alias("pred_lang"),
+    )
+    filtered = scored.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("pred_lang") == lang)
+    )
+    return (
+        filtered.groupBy("_norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("n_tokens", "quality_score"), "doc_id").alias("_p"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "doc_id",
+            F.col("_p.n_tokens").alias("n_tokens"),
+            F.col("_p.quality_score").alias("quality_score"),
+            "n_copies",
+        )
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col

@@ -236,6 +236,28 @@ def x2_ivf_full_probe(spark, sf_dir):
     )
 
 
+@query(
+    "x2_embedding_norms",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+""",
+)
+def x2_embedding_norms(spark, sf_dir):
+    """X2 embedding hygiene: per-vector L2 norm + dimensionality — the
+    normalization/validation pass an ANN index build runs first (catches
+    zero vectors and ragged dims before they poison cosine scores)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(similarity.norm_sq_expr("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").cast("int").alias("dim"),
+    )
+
+
 # ===========================================================================
 # X3 — text analysis
 # ===========================================================================
@@ -353,6 +375,90 @@ def x3_fingerprint_rolling(spark, sf_dir):
     char 8-grams); invariance under whitespace-only edits tested in
     tests/test_ext_operators.py."""
     return text.fingerprint_rolling(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x3_vocab_topk",
+    oracle=r"""
+SELECT token, n_occurrences FROM (
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (
+        SELECT unnest(regexp_split_to_array(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+        FROM documents
+    ) t
+    WHERE token != ''
+    GROUP BY token
+) g
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+""",
+)
+def x3_vocab_topk(spark, sf_dir):
+    """X3 vocabulary building: top-100 tokens by corpus frequency over
+    normalized text (explode -> count with map-side combine -> top-k)."""
+    return text.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@query(
+    "x3_length_histogram",
+    oracle="""
+SELECT CAST(length(text) // 100 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(length(text)) AS INT) AS min_chars,
+       CAST(MAX(length(text)) AS INT) AS max_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def x3_length_histogram(spark, sf_dir):
+    """X3 document-length histogram (100-char buckets) — the before/after
+    distribution profile of a curation pipeline."""
+    return text.length_histogram(_t(spark, sf_dir, "documents"), bucket_width=100)
+
+
+@query(
+    "x1_training_data_prep",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, norm,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(0.4 * (len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+                        / len(toks)::DOUBLE)
+                 + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+                 + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 6) AS quality_score,
+           {_LANG_SCORE_SQL.replace("toks", "ltoks")}
+    FROM t
+),
+filtered AS (
+    SELECT * FROM scored
+    WHERE quality_score >= 0.5
+      AND {_LANG_CASE} = 'en'
+)
+SELECT MIN(doc_id) AS doc_id,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       arg_min(quality_score, doc_id) AS quality_score,
+       COUNT(*) AS n_copies
+FROM filtered
+GROUP BY norm
+""",
+)
+def x1_training_data_prep(spark, sf_dir):
+    """X1+X3 composed training-data prep: quality filter + language filter +
+    exact dedup (min-id survivorship) in one narrow projection + one
+    shuffle — the end-to-end curation pipeline over documents."""
+    return text.training_data_prep(
+        _t(spark, sf_dir, "documents"), min_quality=0.5, lang="en"
+    )
 
 
 # ===========================================================================

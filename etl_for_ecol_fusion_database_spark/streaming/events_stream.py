@@ -131,6 +131,68 @@ def latest_status_stream(events: DataFrame, *, watermark: str = "2 hours") -> Da
     )
 
 
+#: output / state schemas for the custom stateful operator
+RUNNING_LATEST_OUT = (
+    "user_id LONG, latest_ts TIMESTAMP, latest_status STRING, n_events LONG"
+)
+RUNNING_LATEST_STATE = "latest_ts TIMESTAMP, latest_status STRING, n_events LONG"
+
+
+def _running_latest_fn(key, pdfs, state):
+    """Per-user stateful reducer: fold each micro-batch's rows into
+    (latest_ts, latest_status, n_events) state, ordering by (ts, event_type)
+    exactly like the batch ``max_by(struct(event_type, ts),
+    struct(ts, event_type))`` in a4_argmax_latest_event."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        latest_ts, latest_status, n_events = state.get
+    else:
+        latest_ts, latest_status, n_events = None, None, 0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        top = pdf.sort_values(["ts", "event_type"]).iloc[-1]
+        ts = top["ts"].to_pydatetime() if hasattr(top["ts"], "to_pydatetime") else top["ts"]
+        if latest_ts is None or (ts, top["event_type"]) > (latest_ts, latest_status):
+            latest_ts, latest_status = ts, top["event_type"]
+    state.update((latest_ts, latest_status, n_events))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "latest_ts": latest_ts,
+                "latest_status": latest_status,
+                "n_events": n_events,
+            }
+        ]
+    )
+
+
+def running_latest_status(events: DataFrame) -> DataFrame:
+    """TRULY unbounded latest-status-per-user as a custom stateful operator
+    via ``applyInPandasWithState`` — the operator the windowed
+    ``latest_status_stream`` docstring defers to.  State is one small tuple
+    per user (bounded by the user-id domain, not by time), updated from
+    Arrow-batched pandas frames; each micro-batch emits the refreshed row
+    for every user it touched (update mode).
+
+    Scale posture: state is keyed per user and O(1) per key; the shuffle is
+    the same hash-partition-by-key every streaming agg pays.  No watermark is
+    needed because 'latest ever' never closes — late events fold in
+    correctly since the reducer compares (ts, event_type) rather than
+    assuming arrival order."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_latest_fn,
+        outputStructType=RUNNING_LATEST_OUT,
+        stateStructType=RUNNING_LATEST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, *, output_mode: str = "append"):
     """Execute a streaming plan to completion over the file source
     (availableNow) into an in-memory sink; returns the query handle."""

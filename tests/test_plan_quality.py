@@ -78,6 +78,42 @@ def test_semi_join_pushes_projection(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_vocab_topk_plan_shape(spark, sf_dir):
+    """Vocabulary top-k: partial count below the shuffle (map-side combine
+    over each partition's token multiset) and TakeOrderedAndProject instead
+    of a global sort."""
+    plan = _final_plan(registry.QUERIES["x3_vocab_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange hashpartitioning")
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles == 1, f"vocab build should be one shuffle, got {n_shuffles}"
+
+
+def test_training_data_prep_single_shuffle(spark, sf_dir):
+    """The composed curation pipeline computes quality + lang-ID + dedup key
+    in one narrow projection — exactly one shuffle (the dedup groupBy)."""
+    plan = _final_plan(registry.QUERIES["x1_training_data_prep"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles == 1, f"prep pipeline should be one shuffle, got {n_shuffles}"
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_lsh_signature_uses_codegen_aggregation(spark, sf_dir):
+    """Hyperplane signatures must be the explode + per-bit SUM shape
+    (HashAggregate, codegen) — not nested interpreted aggregate() folds."""
+    from etl_for_ecol_fusion_database_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = similarity.hyperplane_signatures_df(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        n_bits=8,
+    )
+    plan = _final_plan(sigs)
+    assert "HashAggregate" in plan and "partial_sum" in plan
+    assert "aggregate(" not in plan, "interpreted HOF fold crept back in"
+
+
 def test_window_reuses_join_partitioning(spark, sf_dir):
     """Both flagship window passes run on the collision_id partitioning of
     the join output — no extra exchange between W1 and W2."""

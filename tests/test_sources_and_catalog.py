@@ -118,6 +118,27 @@ def test_spark_accepts_generated_ddl(spark):
         spark.sql("DROP TABLE IF EXISTS ddl_smoke")
 
 
+def test_reset_schema_and_physical_layout(spark, sf_dir, tmp_path):
+    """on_demand_db_query.sql analogues: schema reset (DROP CASCADE +
+    recreate) and the pg_indexes-style physical-layout listing (PK +
+    bucketing metadata)."""
+    from etl_for_ecol_fusion_database_spark import catalog
+
+    catalog.reset_schema(spark, "layout_db", location=str(tmp_path / "wh"))
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    writers.write_bucketed(orders, "layout_db.orders", bucket_by="o_orderkey", n_buckets=4)
+    layout = {
+        (r.kind, r.expression)
+        for r in catalog.list_physical_layout(spark, "layout_db.orders").collect()
+    }
+    assert ("primary_key", "o_orderkey") in layout
+    assert ("bucket", "o_orderkey") in layout
+    # reset drops everything: table must be gone after a second reset
+    catalog.reset_schema(spark, "layout_db", location=str(tmp_path / "wh2"))
+    assert not spark.catalog.tableExists("layout_db.orders")
+    spark.sql("DROP DATABASE IF EXISTS layout_db CASCADE")
+
+
 def test_dev_prod_routing():
     assert writers.route_table_name("collisions", system="fusion", dev_mode=True) == "fusion_collisions_dev"
     assert writers.route_table_name("collisions", system="oracle") == "oracle_collisions"

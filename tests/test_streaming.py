@@ -57,6 +57,40 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, events_max_ts):
     assert not missing, f"closed windows missing from stream output: {sorted(missing)[:5]}"
 
 
+def test_running_latest_stateful_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator: after a full
+    availableNow replay, the latest emitted row per user must equal the
+    batch argmax — for every user, with exact event counts (the reducer is
+    order-insensitive, so multi-batch replay with maxFilesPerTrigger=1 must
+    still converge to the batch answer)."""
+    stream = es.running_latest_status(es.read_events_stream(spark, sf_dir))
+    es.run_to_memory(stream, "t_running_latest", output_mode="update")
+    # update mode re-emits a user's row each batch that touches it; the
+    # LAST emission (max n_events) is the final state
+    emitted = spark.table("t_running_latest")
+    w_latest = (
+        emitted.groupBy("user_id")
+        .agg(F.max_by(F.struct("latest_ts", "latest_status"), "n_events").alias("m"),
+             F.max("n_events").alias("n_events"))
+        .select("user_id", "m.latest_ts", "m.latest_status", "n_events")
+    )
+    got = {
+        r.user_id: (r.latest_ts, r.latest_status, r.n_events)
+        for r in w_latest.collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("ts", "event_type"), F.struct("ts", "event_type")).alias("m"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "m.ts", "m.event_type", "n_events")
+    )
+    expected = {r.user_id: (r.ts, r.event_type, r.n_events) for r in batch.collect()}
+    assert got == expected
+
+
 def test_session_stream_matches_batch(spark, sf_dir):
     stream = es.session_counts(es.read_events_stream(spark, sf_dir))
     es.run_to_memory(stream, "t_sessions")
