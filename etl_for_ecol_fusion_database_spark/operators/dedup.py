@@ -243,13 +243,24 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // n_bands
     sh = shingle_rows(df, id_col, text_col, n)  # (id, shingle) rows, codegen
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sigs = minhash_signatures_df(sh, num_hashes=num_hashes)
-    # slim banding relation: (id, band_idx, band_hash) only — shingle data
-    # must NOT ride through the self-join shuffle (row width dominates; at
-    # scale that is shuffling a few bytes per doc vs the whole corpus)
-    banded = sigs.select(
+    # ONE per-doc aggregation produces the signature AND the shingle-set
+    # size (sh is already distinct) — instead of separate signature and size
+    # pipelines each re-running the shingle DAG
+    pairs = sh.withColumn("h", F.xxhash64("shingle"))
+    per_doc = pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(F.col("h") * F.lit(_mh_mult(i)) + F.lit(_mh_off(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    # slim banding relation: (id, sz, band_idx, band_hash) — the set size
+    # rides along (8 bytes/doc) so candidate pairs carry both sizes out of
+    # the self-join and the two per-side size joins disappear; shingle data
+    # must NOT ride through the self-join shuffle (row width dominates)
+    banded = per_doc.select(
         "id",
+        "sz",
         F.posexplode(
             F.array(
                 *[
@@ -277,7 +288,12 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact-Jaccard verification for the (few) candidates, set ops as joins:
@@ -286,13 +302,12 @@ def minhash_lsh_pairs(
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        cand.join(sh_a, "id_a")
+        cand.select("id_a", "id_b")
+        .join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.round(
         F.col("n_inter").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
@@ -301,8 +316,6 @@ def minhash_lsh_pairs(
     return (
         cand.join(inter, ["id_a", "id_b"], "left")
         .fillna({"n_inter": 0})
-        .join(sz_a, "id_a")
-        .join(sz_b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
