@@ -86,6 +86,27 @@ class JdbcSource:
         return self.read_table(spark, table).limit(n)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """[ext] JSONL corpus reader — the interchange format LLM training
+    corpora ship in (one JSON document per line).  Always pass an explicit
+    schema in production: schema inference is a full extra pass over the
+    data, which at 100 TB doubles the read."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, *, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """[ext] CSV reader with the same explicit-schema discipline."""
+    r = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)
+
+
 def oracle_source(host: str, port: int, service: str, user: str, password: str) -> JdbcSource:
     """eCollision Oracle-shaped source (reference env vars at
     ingest_ecollision_oracle_data.py:54-67)."""

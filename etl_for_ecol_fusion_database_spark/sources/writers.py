@@ -96,6 +96,24 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "gzip",
+) -> None:
+    """[ext] JSONL corpus sink (one JSON doc per line, compressed) — the
+    export format downstream tokenizer/training jobs consume.  Partitioning
+    by a coarse key (e.g. language, date) keeps per-file sizes bounded and
+    lets consumers prune."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     sink: JdbcSource,
