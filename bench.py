@@ -48,6 +48,8 @@ HEADLINE = [
     "flagship_valid_flag_cohort",
     "x2_lsh_bucketed_ann",
     "x5_sliding_counts",
+    "x1_training_data_prep",
+    "x3_vocab_topk",
 ]
 
 
