@@ -74,6 +74,26 @@ class ParquetSink:
             return True
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+) -> None:
+    """[ext] Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition untouched — the idempotent
+    incremental-reload pattern at 100 TB (re-running a day's load rewrites
+    that day, not the table).  Spark's static mode would truncate the whole
+    table; the dynamic conf scopes the overwrite to touched partitions and
+    the commit stays atomic per partition via the staged-file protocol."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -84,6 +84,33 @@ def test_salted_join_equals_plain(spark, sf_dir):
     )
 
 
+def test_dynamic_partition_overwrite_is_incremental(spark, sf_dir, tmp_path):
+    """Re-writing one partition must leave the others untouched (the
+    idempotent day-reload pattern); a partition-key filter must prune the
+    scan to that partition's files."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    writers.overwrite_partitions(events, path, partition_by=["day"])
+    total = spark.read.parquet(path).count()
+    one_day = events.agg(F.min("day").alias("d")).collect()[0].d
+    # rewrite ONE day with a mutated subset (half the rows)
+    subset = events.filter(F.col("day") == one_day).filter(F.col("event_id") % 2 == 0)
+    n_subset = subset.count()
+    writers.overwrite_partitions(subset, path, partition_by=["day"])
+    after = spark.read.parquet(path)
+    day_rows = after.filter(F.col("day") == one_day).count()
+    assert day_rows == n_subset, "target partition not replaced"
+    others_before = total - events.filter(F.col("day") == one_day).count()
+    assert after.count() - day_rows == others_before, "other partitions were touched"
+    # partition pruning: the day filter must appear as PartitionFilters
+    q = after.filter(F.col("day") == one_day).select("event_id")
+    q.count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:80]
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     # warehouse.dir is static conf — park the test DB at an explicit location
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path / 'wh'}'")
