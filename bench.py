@@ -50,6 +50,11 @@ HEADLINE = [
     "x5_sliding_counts",
     "x1_training_data_prep",
     "x3_vocab_topk",
+    "q6_revenue_delta",
+    "q13_customer_distribution",
+    "x3_repetition_signals",
+    "x6_hash_split",
+    "x7_scd2_status_intervals",
 ]
 
 

@@ -1,0 +1,102 @@
+"""X6 sampling / dataset-split operators for training-data pipelines.
+
+Deterministic, shuffle-free where possible:
+
+- ``hash_split``: train/val/test assignment from a multiplicative hash of
+  the id — a narrow per-row projection (NO shuffle, no RNG state), so the
+  same row lands in the same split on any cluster size, any partitioning,
+  any execution order.  That reproducibility-by-construction is the
+  property a 100 TB curation pipeline needs (re-running the split after an
+  upstream refresh must not migrate documents between train and test).
+- ``stratified_sample``: exact per-stratum fraction via rank-over-hash —
+  one shuffle on the stratum key, bounded output per stratum.
+
+The hash is pure integer arithmetic (Knuth multiplicative hashing) rather
+than ``xxhash64`` so the DuckDB oracle can evaluate the identical
+expression; for string keys at production scale, pass
+``id_expr=F.xxhash64(...)`` (rows-only check then applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Knuth's multiplicative constant (2^32 / phi); id*KNUTH mod 2^31-ish
+#: decorrelates sequential ids.  Kept < 2^32 so bigint products of ids up
+#: to ~4e9 cannot overflow int64 (Spark with ANSI off would wrap silently).
+KNUTH = 2654435761
+
+#: modulus for split bucketing — 1000 buckets => per-mille split weights
+N_BUCKETS = 1000
+
+
+def split_bucket(id_col: Column | str, *, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod((c + F.lit(salt)) * F.lit(KNUTH), F.lit(N_BUCKETS)).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    weights: dict[str, int] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Assign each row to a named split with per-mille ``weights``
+    (default train/val/test = 800/100/100).
+
+    Narrow projection — no shuffle, no sampling RNG; the assignment is a
+    pure function of the id, so it is stable under repartitioning,
+    re-execution, and incremental appends (new rows get assigned without
+    touching old ones).  ``salt`` derives independent re-splits.
+    """
+    weights = weights or {"train": 800, "val": 100, "test": 100}
+    if sum(weights.values()) != N_BUCKETS:
+        raise ValueError(f"weights must sum to {N_BUCKETS}: {weights}")
+    bucket = split_bucket(id_col, salt=salt)
+    expr: Column | None = None
+    hi = 0
+    for name, w in weights.items():
+        hi += w
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.select("*", bucket.alias("bucket"), expr.alias("split"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    salt: int = 0,
+) -> DataFrame:
+    """Exact deterministic per-stratum sample: rank rows within each
+    stratum by hash-of-id and keep ``ceil(fraction * n_stratum)``.
+
+    Unlike ``df.sampleBy`` (Bernoulli — approximate counts, RNG-seeded
+    per-partition and therefore partitioning-sensitive), this is exact and
+    reproducible: one shuffle on the stratum key, both window functions
+    (rank + stratum size) share that single partitioning.
+
+    Skew note: a hot stratum concentrates on one reducer; at 100 TB with a
+    dominant stratum, pre-aggregate per-stratum counts separately and use a
+    bucket-threshold filter (rank-free) instead — same semantics when ids
+    are hash-distributed.
+    """
+    w = Window.partitionBy(strata_col)
+    order = Window.partitionBy(strata_col).orderBy(
+        split_bucket(id_col, salt=salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            "*",
+            F.row_number().over(order).alias("_rn"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )

@@ -209,6 +209,92 @@ def training_data_prep(
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_fraction``: 1 - distinct_tokens / n_tokens (how much of
+      the doc is repeated vocabulary);
+    - ``top_token_fraction``: occurrences of the most frequent token / n;
+    - ``top_bigram_fraction``: same for 2-grams (catches boilerplate that
+      unigram stats miss).
+
+    Shape: explode to (doc_id, gram) rows, count per (doc_id, gram), then
+    re-aggregate per doc — two hash aggregations over the SAME doc_id-first
+    grouping (map-side combine collapses each doc's gram multiset before
+    any shuffle).  This is the form that scales to arbitrarily long
+    documents; a per-row higher-order-function fold would be O(distinct x
+    n) per doc and melt on 10k-token documents.
+
+    All fractions rounded to 6dp for cross-engine hash stability.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    base = df.select("doc_id", toks.alias("_t"))
+    uni = base.select("doc_id", F.explode("_t").alias("gram"))
+    # single-token docs produce an empty bigram array -> dropped by explode;
+    # re-attached via left join with fraction 0.0
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1),"
+                " i -> concat_ws(' ', element_at(_t, i), element_at(_t, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+
+    def per_doc(grams, out_prefix):
+        return (
+            grams.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias(f"{out_prefix}_n"),
+                F.count(F.lit(1)).alias(f"{out_prefix}_distinct"),
+                F.max("c").alias(f"{out_prefix}_top"),
+            )
+        )
+
+    u = per_doc(uni, "u")
+    b = per_doc(big, "b")
+    return (
+        u.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("u_n").cast("int").alias("n_tokens"),
+            F.round(1.0 - F.col("u_distinct") / F.col("u_n"), 6).alias("dup_token_fraction"),
+            F.round(F.col("u_top") / F.col("u_n"), 6).alias("top_token_fraction"),
+            F.round(
+                F.coalesce(F.col("b_top") / F.col("b_n"), F.lit(0.0)), 6
+            ).alias("top_bigram_fraction"),
+        )
+    )
+
+
+#: PII patterns kept in the Java-regex ∩ RE2 dialect subset (no lookaround)
+#: so the DuckDB oracle runs the identical pattern.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone numbers.
+
+    Narrow per-row regexp projection — no shuffle, whole-stage codegen;
+    the redacted text replaces matches with typed placeholders so
+    downstream dedup/fingerprints treat all redacted variants alike.
+    """
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), 0)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col

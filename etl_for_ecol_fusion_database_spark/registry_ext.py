@@ -654,3 +654,200 @@ def x5_session_windows(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ===========================================================================
+# X3 (cont.) — repetition quality signals + PII scrubbing
+# ===========================================================================
+
+
+@query(
+    "x3_repetition_signals",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents
+),
+ucnt AS (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM base, UNNEST(t) AS u(gram)
+    GROUP BY doc_id, gram
+),
+u AS (
+    SELECT doc_id, SUM(c) AS u_n, COUNT(*) AS u_distinct, MAX(c) AS u_top
+    FROM ucnt GROUP BY doc_id
+),
+bcnt AS (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM base WHERE len(t) >= 2
+    )
+    GROUP BY doc_id, gram
+),
+b AS (
+    SELECT doc_id, SUM(c) AS b_n, MAX(c) AS b_top FROM bcnt GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(u.u_n AS INT) AS n_tokens,
+       ROUND(1.0 - u.u_distinct / u.u_n, 6) AS dup_token_fraction,
+       ROUND(u.u_top / u.u_n, 6) AS top_token_fraction,
+       ROUND(COALESCE(b.b_top / b.b_n, 0.0), 6) AS top_bigram_fraction
+FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+""",
+)
+def x3_repetition_signals(spark, sf_dir):
+    """X3 Gopher-style repetition signals: dup-token / top-token /
+    top-bigram fractions per document (explode + two doc_id-keyed hash
+    aggregations — the long-document-safe shape; see
+    operators/text.py:repetition_signals)."""
+    return text.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x3_pii_redaction",
+    oracle=r"""
+WITH injected AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 today' ELSE '' END
+           AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones,
+       regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted
+FROM injected
+""",
+)
+def x3_pii_redaction(spark, sf_dir):
+    """X3 PII scrubbing: email/phone detection counts + typed-placeholder
+    redaction (narrow regexp projection, identical Java/RE2 pattern on both
+    engines).  Synthetic PII is injected deterministically because the
+    fixture corpus contains none."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567 today")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return text.pii_redact(docs)
+
+
+# ===========================================================================
+# X6 — deterministic dataset splits & sampling (training-data pipelines)
+# ===========================================================================
+
+
+@query(
+    "x6_hash_split",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id * 2654435761) % 1000 AS INT) AS bucket,
+       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       lang
+FROM documents
+""",
+)
+def x6_hash_split(spark, sf_dir):
+    """X6 deterministic train/val/test split (800/100/100 per-mille) from a
+    multiplicative hash of doc_id — a narrow no-shuffle projection, stable
+    under repartitioning and incremental appends
+    (operators/sampling.py:hash_split)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.hash_split(docs, "doc_id").select("doc_id", "bucket", "split", "lang")
+
+
+@query(
+    "x6_stratified_sample",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST((doc_id * 2654435761) % 1000 AS INT), doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= CEIL(n * 0.1)
+""",
+)
+def x6_stratified_sample(spark, sf_dir):
+    """X6 exact deterministic stratified sample: 10% per language via
+    rank-over-hash (one shuffle; both windows share the lang partitioning).
+    Unlike sampleBy (Bernoulli RNG), counts are exact and reproducible
+    (operators/sampling.py:stratified_sample)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, "lang", id_col="doc_id", fraction=0.1)
+
+
+# ===========================================================================
+# X7 — SCD2 history derivation (warehouse-history form of the reference's
+# CL_STATUS_HISTORY consumption)
+# ===========================================================================
+
+
+@query(
+    "x7_scd2_status_intervals",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+    FROM events
+),
+changes AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM ordered WHERE _prev IS NULL OR event_type <> _prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM changes
+""",
+)
+def x7_scd2_status_intervals(spark, sf_dir):
+    """X7 SCD2 interval derivation over the status-history event log:
+    collapse consecutive same-status events, open/close validity intervals
+    with lag/lead over ONE (user_id, ts) partitioning
+    (operators/history.py:scd2_intervals)."""
+    from .operators import history
+
+    iv = history.scd2_intervals(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", tiebreak="event_id"
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+    )

@@ -1,0 +1,117 @@
+"""Property tests for the X6 sampling / X7 history / X3 curation operators
+(semantic invariants beyond the DuckDB parity gate)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+from etl_for_ecol_fusion_database_spark.operators import history, sampling, text
+
+
+def test_hash_split_partitioning_invariant(spark, sf_dir):
+    """The split assignment must be a pure function of the id: identical
+    under any physical partitioning (the reproducibility property that
+    makes the split safe to recompute on a different cluster)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = sampling.hash_split(docs.repartition(1), "doc_id")
+    b = sampling.hash_split(docs.repartition(13, "doc_id"), "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_split_weights_and_disjointness(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = sampling.hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()  # total preserved, each row exactly one split
+    # multiplicative hashing over a contiguous id range: within a few % of
+    # the 80/10/10 target even on 500 ids
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    assert abs(counts.get("val", 0) / n - 0.1) < 0.05
+    assert abs(counts.get("test", 0) / n - 0.1) < 0.05
+
+
+def test_hash_split_salt_decorrelates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s0 = sampling.hash_split(docs, "doc_id", salt=0).select("doc_id", "split")
+    s1 = sampling.hash_split(docs, "doc_id", salt=7).select(
+        "doc_id", F.col("split").alias("split1")
+    )
+    moved = s0.join(s1, "doc_id").filter(F.col("split") != F.col("split1")).count()
+    assert moved > 0  # a salted re-split is a different split
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    frac = 0.1
+    out = sampling.stratified_sample(docs, "lang", id_col="doc_id", fraction=frac)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r["lang"]: math.ceil(r["n"] * frac)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_scd2_intervals_tile_and_single_current(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    iv = history.scd2_intervals(events, "user_id", "ts", "event_type", tiebreak="event_id")
+    # exactly one open (is_current) interval per user
+    per_user = iv.groupBy("user_id").agg(
+        F.sum("is_current").alias("n_open"), F.count("*").alias("n_iv")
+    )
+    assert per_user.filter(F.col("n_open") != 1).count() == 0
+    # intervals tile: valid_to of interval k == valid_from of interval k+1
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = iv.select(
+        "user_id", "valid_from", "valid_to", F.lead("valid_from").over(w).alias("next_from")
+    )
+    bad = chained.filter(
+        F.col("next_from").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    ).count()
+    assert bad == 0
+    # no zero/negative-length closed intervals
+    assert iv.filter(F.col("valid_to") <= F.col("valid_from")).count() == 0
+    # consecutive intervals never carry the same status (else not collapsed)
+    runs = iv.select(
+        "user_id", "valid_from", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    assert runs.filter(F.col("event_type") == F.col("next_type")).count() == 0
+
+
+def test_pii_redact_removes_all_matches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@mail-host.org or x@y.io please"),
+            (2, "call 555-123-4567 or 555 987 6543 now"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 2 and "<EMAIL>" in out[1]["redacted"]
+    assert "@" not in out[1]["redacted"]
+    assert out[2]["n_phones"] == 2 and out[2]["redacted"].count("<PHONE>") == 2
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert out[3]["redacted"] == "clean text with no pii at all"
+
+
+def test_repetition_signals_orders_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert rows[1]["dup_token_fraction"] > 0.8
+    assert rows[1]["top_token_fraction"] == 1.0
+    assert rows[1]["top_bigram_fraction"] == 1.0
+    assert rows[2]["dup_token_fraction"] == 0.0
+    assert rows[2]["top_token_fraction"] < 0.2
