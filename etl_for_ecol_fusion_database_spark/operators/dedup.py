@@ -75,37 +75,38 @@ def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
     """Distinct word n-gram shingles as (id, shingle) ROWS — the scalable
-    form: tokenization runs once per doc under posexplode (codegen), n-grams
-    come from window ``lead`` over token position (one shuffle on id that
-    every downstream per-doc aggregation reuses).
+    form: a ZERO-shuffle narrow projection.
+
+    The token array is bound to a named column first, so the n-gram
+    higher-order function evaluates over the already-materialized array
+    (O(tokens) per row — the pathological cost in ``word_shingles`` is
+    re-running normalize+split per element, not the HOF itself), and
+    ``array_distinct`` dedupes shingles locally per doc, replacing the
+    global ``.distinct()`` shuffle.  Earlier window-``lead`` form cost two
+    exchanges (id-window + distinct) per consumer — and the MinHash
+    pipeline consumes this relation three times (signature build + both
+    sides of candidate verification), so the narrow form removes up to six
+    shuffles from the dedup DAG.
 
     Docs with fewer than n tokens fall back to unigram shingles, matching
-    ``word_shingles``.
+    ``word_shingles``.  Multi-megabyte documents materialize their gram
+    array per row — chunk upstream if documents are unbounded.
     """
-    toks = df.select(
+    t = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalize_text(text_col), r"\s+")).alias("pos", "tok"),
+        F.split(normalize_text(text_col), r"\s+").alias("_t"),
     )
     if n == 1:
-        return toks.select("id", F.col("tok").alias("shingle")).distinct()
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = toks.select(
-        "id",
-        "tok",
-        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("n_tok"),
-        *[F.lead("tok", j).over(w).alias(f"tok_{j}") for j in range(1, n)],
-    )
-    gram = F.concat_ws(" ", "tok", *[f"tok_{j}" for j in range(1, n)])
-    return (
-        leads.select(
-            "id",
-            F.when(F.col("n_tok") < n, F.col("tok"))
-            .when(F.col(f"tok_{n - 1}").isNotNull(), gram)
-            .alias("shingle"),
+        arr = F.array_distinct(F.col("_t"))
+    else:
+        gram = F.transform(
+            F.sequence(F.lit(0), F.size("_t") - n),
+            lambda i: F.concat_ws(" ", *[F.element_at("_t", i + j + 1) for j in range(n)]),
         )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
-    )
+        arr = F.when(F.size("_t") >= n, F.array_distinct(gram)).otherwise(
+            F.array_distinct(F.col("_t"))
+        )
+    return t.select("id", F.explode(arr).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------

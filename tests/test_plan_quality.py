@@ -132,3 +132,53 @@ def test_window_reuses_join_partitioning(spark, sf_dir):
     # and the whole two-window pipeline rides on <= 2 key shuffles overall
     n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_shuffles <= 2, f"too many shuffles: {n_shuffles}"
+
+
+def test_q6_pure_pushdown_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: all predicates reach the parquet scan,
+    only the needed columns are read, and no data-row shuffle exists (the
+    single global agg exchanges one partial row per task)."""
+    plan = _final_plan(registry.QUERIES["q6_revenue_delta"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"PushedFilters: \[[^\]]*{pushed}", plan), f"{pushed} not pushed"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(f.split(":")[0] for f in m.group(1).split(","))
+    assert cols == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"], cols
+    assert not re.findall(r"Exchange (?:hash|range)partitioning", plan)
+
+
+def test_q4_semi_join_slim_build_side(spark, sf_dir):
+    """EXISTS decorrelates to a LEFT SEMI join whose build side scans only
+    the join key + pushed flag filter."""
+    plan = _final_plan(registry.QUERIES["q4_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
+    assert re.search(r"ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>", plan)
+
+
+def test_hash_split_no_shuffle(spark, sf_dir):
+    """The split assignment is a narrow projection — zero exchanges; this is
+    what makes it free at 100 TB."""
+    from etl_for_ecol_fusion_database_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = _final_plan(sampling.hash_split(docs, "doc_id"))
+    assert "Exchange" not in plan, f"hash_split must not shuffle:\n{plan}"
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """Rank + stratum-count windows share one lang partitioning."""
+    plan = _final_plan(registry.QUERIES["x6_stratified_sample"](spark, sf_dir))
+    n = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n == 1, f"stratified sample should be one shuffle, got {n}\n{plan}"
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Change-detection lag and interval-closing lead share one (user_id)
+    partitioning — the filter between them preserves partitioning and sort
+    order, so no second exchange (and no second sort)."""
+    plan = _final_plan(registry.QUERIES["x7_scd2_status_intervals"](spark, sf_dir))
+    n = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n == 1, f"SCD2 derivation should be one shuffle, got {n}\n{plan}"
+    assert plan.count("Sort ") <= 1, f"lead window re-sorted:\n{plan}"
