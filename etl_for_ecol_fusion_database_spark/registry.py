@@ -1138,3 +1138,4 @@ def asof_last_purchase(spark, sf_dir):
 # extension operators register themselves on import (bottom import keeps the
 # decorator registry single-sourced without a circular-import headache)
 from . import registry_ext  # noqa: E402,F401
+from . import registry_tpch  # noqa: E402,F401

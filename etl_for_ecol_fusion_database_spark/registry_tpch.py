@@ -1,0 +1,906 @@
+"""TPC-H completion: the 15 queries not already in ``registry.py``
+(q1/q3/q4/q5/q6/q13/q18 live there), adapted to the fixture schema
+(TESTDATA.md — no partsupp, no shipmode/commitdate/receiptdate/phone/
+container columns) while preserving each query's *operator shape*:
+correlated scalar subqueries (q2, q17), HAVING-over-global-scalar (q11),
+view + scalar max (q15), NOT IN (q16), double-correlated EXISTS /
+NOT EXISTS (q21), NOT EXISTS + scalar avg (q22), OR-of-ANDs pushdown
+(q19), CASE-pivot aggregations (q7, q8, q12, q14).
+
+Together with the seven in ``registry.py`` this gives the engine a full
+22-query TPC-H-shaped surface — every classic analytical operator shape
+has a green driver entry with a DuckDB oracle.
+
+Conventions are registry.py's: DECIMAL(38,6) accumulation on BOTH sides
+(distributed double sums are order-sensitive), final projection CAST to
+DOUBLE, identical aliases, INT-pinned years/counts where dtype defaults
+differ.
+
+Scale notes are per-query in docstrings; the common themes:
+- dimension joins (nation/region/part-slice/supplier) broadcast;
+- fact-fact joins shuffle once on the fact key and reuse it;
+- correlated subqueries are expressed so Catalyst decorrelates them into
+  aggregations + joins (never per-row re-scans);
+- scalar subqueries become one-row broadcast joins, not driver round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t, query
+
+_DEC = "decimal(38,6)"
+
+
+def _dec(c):
+    return c.cast(_DEC)
+
+
+def _rev():
+    return _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier (correlated scalar MIN subquery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, CAST(ps.unit_cost AS DOUBLE) AS unit_cost
+FROM part p
+JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+  AND ps.unit_cost = (
+      SELECT MIN(ps2.unit_cost)
+      FROM ps ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp replaced by the lineitem-derived
+    (part, supplier, min unit cost) relation): correlated scalar MIN
+    subquery, decorrelated by hand into a per-part MIN + equi-join — the
+    plan Catalyst would produce for the subquery form, made explicit.
+    unit_cost is a double ratio computed with the identical expression on
+    both engines, so the MIN-equality join keys agree bit-for-bit.
+
+    Scale: ps is a lineitem-sized aggregation on (partkey, suppkey); the
+    part slice and all dimensions broadcast; the per-part MIN reuses ps.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    ps = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    eu_ps = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations (CASE year pivot)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume — the two-role dimension pattern
+    (nation joined twice under different aliases) plus a cross-pair OR
+    predicate that must be applied AFTER both joins.
+
+    Scale: both nation joins broadcast; lineitem↔orders is the only
+    big-big shuffle; the date range is pushed to the lineitem scan.
+    """
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share (ratio of conditional sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+           n1.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: market-share ratio — conditional aggregation over a
+    7-table star traversal; the CASE keeps it one pass (no self-join of
+    two filtered aggregates).  Sums accumulate in DECIMAL so the ratio's
+    numerator/denominator are exact before the final double division
+    (identical op order on both engines).
+
+    Scale: part slice + all dimensions broadcast; the only shuffles are
+    lineitem↔orders on orderkey and the final tiny per-year aggregation.
+    """
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_regionkey")))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    vol = _rev()
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(r, F.col("n2_regionkey") == F.col("r_regionkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0).cast(_DEC)))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit (cost proxy: retail price at 80%)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.8 * p.p_retailprice * l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 (ps_supplycost proxied by 0.8 * p_retailprice — the
+    fixture has no partsupp): profit rollup by supplier nation and order
+    year, with a LIKE-filtered part slice.
+
+    Scale: the '%widget%' part slice (1/8 of part) broadcasts; profit
+    arithmetic runs in codegen before the one orderkey shuffle.
+    """
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    profit = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item reporting (top 20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: returned-revenue ranking — quarter-scoped orders,
+    return-flagged lineitems, broadcast nation decode, global top-20 via
+    TakeOrderedAndProject (no full sort).
+
+    Scale: both selective filters push to their scans; the orderkey
+    shuffle carries only the filtered quarter.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important value concentration (HAVING over global scalar)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_value",
+    oracle="""
+WITH vals AS (
+    SELECT l.l_partkey,
+           SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(38,6))) AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM vals
+WHERE value * 1000 > (SELECT SUM(value) FROM vals)
+ORDER BY value DESC, l_partkey
+""",
+)
+def q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp value proxied by extendedprice*quantity):
+    per-part value HAVING greater than a fraction of the GLOBAL total — a
+    scalar subquery over the same aggregate.  The threshold compare is
+    ``value * 1000 > total`` in exact DECIMAL (integer-scaled, no 0.001
+    literal whose binary rendering could differ between engines).
+
+    Scale: the scalar total is a one-row broadcast join against the
+    per-part aggregate — the aggregation shuffle happens once and is
+    reused by both branches (no driver round-trip, no second scan).
+    """
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
+    l = _t(spark, sf_dir, "lineitem")
+    vals = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * F.col("l_quantity"))).alias("value"))
+    )
+    total = vals.agg(F.sum("value").alias("total"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — priority classes by line status (CASE-pivot counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_priority_class",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+)
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape (l_shipmode proxied by l_linestatus — the fixture
+    has no shipmode): CASE-pivot counting high- vs low-priority orders
+    per line status over a one-year window.
+
+    Scale: year filter pushes to the lineitem scan; one orderkey shuffle;
+    the pivot is two conditional SUMs in a single pass.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promotion revenue share (ratio of conditional sums, single row)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue percentage — conditional/total sum ratio
+    in one pass over a one-month lineitem slice.  DECIMAL accumulation,
+    then the identical double expression (100 * promo / total) on both
+    engines.
+
+    Scale: month filter pushes to the scan; part broadcasts; a single
+    partial+final aggregate — no data-row shuffle.
+    """
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(_DEC))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_rev()).cast("double"))
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier (derived revenue view + scalar MAX)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the revenue "view" + scalar MAX equality — the
+    max-equality compare runs on exact DECIMAL sums, so ties and the max
+    itself agree across engines bit-for-bit.
+
+    Scale: per-supplier aggregate (small domain) computed once; the MAX
+    is a one-row broadcast back against it; supplier dim broadcasts.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier count by part attributes (NOT IN exclusion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp from DISTINCT lineitem pairs; the
+    complaints NOT IN proxied by negative-balance suppliers): attribute
+    slice + NOT IN anti-join + COUNT DISTINCT.
+
+    Scale: the exclusion list is tiny → broadcast LEFT ANTI join (the
+    NOT-IN-with-non-null-keys plan); part slice broadcasts; the DISTINCT
+    pair reduction happens before the count.
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        )
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (correlated AVG subquery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+WITH avg_qty AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS aq
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13' AND p.p_size < 8
+  AND l.l_quantity < 0.2 * a.aq
+""",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: correlated AVG subquery (lines below 20% of their
+    part's average quantity), decorrelated into a per-part aggregate +
+    equi-join.  The average is SUM(DECIMAL)/COUNT so both engines derive
+    the identical double before the 0.2 compare.
+
+    Scale: per-part avg shuffles on partkey once; the brand/size slice
+    broadcasts; at 1000 executors this is two lineitem scans — Catalyst
+    cannot merge them, but both are column-pruned to 3 columns.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") < 8))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — discounted revenue (OR-of-ANDs over mixed join columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: the disjunctive-predicate benchmark — three AND-groups
+    OR'd together, each mixing part and lineitem columns so the predicate
+    can only be applied post-join, but the single-table residuals
+    (brand ∈ {...}, size ≤ 25, quantity ≤ 30) are derivable and pushed.
+
+    Scale: part slice broadcasts; Spark pushes the IN-list/range
+    residuals into both scans (visible as PushedFilters) — the join sees
+    pre-filtered inputs, the OR runs in codegen.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 25)
+        )
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 20) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 25) & qty.between(20, 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — potential part promotion (nested semi-join chain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_6', 'NATION_13', 'NATION_16', 'NATION_18')
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,6))) > 50)
+ORDER BY s_name
+""",
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (availqty threshold proxied by a year's shipped
+    quantity > 50): nested IN subqueries — a part-name slice feeding a
+    grouped HAVING feeding a supplier semi-join.
+
+    Scale: 'red%' part keys broadcast into the lineitem scan's semi-join;
+    the (suppkey, partkey) aggregate shuffles the year slice once; the
+    final supplier list is tiny → broadcast semi-join.
+    """
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy_supp = (
+        l.join(F.broadcast(red), l.l_partkey == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_6", "NATION_13", "NATION_16", "NATION_18")
+        )
+    )
+    return (
+        s.join(F.broadcast(heavy_supp), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name IN ('NATION_5', 'NATION_9', 'NATION_12')
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (receipt-vs-commit lateness proxied by shipping
+    more than 60 days after the order date): the double-correlated
+    EXISTS / NOT EXISTS — "the only late supplier in a multi-supplier
+    order" — expressed as one per-order aggregate join instead of two
+    correlated re-scans: per order, count distinct suppliers and count
+    distinct LATE suppliers; keep late lines where suppliers > 1 and
+    late_suppliers == 1.
+
+    Scale: ONE orderkey-partitioned aggregate replaces both EXISTS
+    subqueries (Catalyst would plan two extra lineitem shuffles for the
+    literal form); the order/status filter prunes the probe side.
+    """
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_5", "NATION_9", "NATION_12")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_orderkey"))
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1),
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — global sales opportunity (NOT EXISTS + scalar AVG)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS ab
+    FROM customer
+    WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+  AND c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (phone country codes proxied by c_nationkey, and —
+    since every fixture customer has orders — "never ordered" becomes
+    "lapsed: no order since 2000-07-01"): customers above the
+    positive-balance average with no recent orders — scalar AVG subquery
+    + NOT EXISTS anti-join.  The average is SUM(DECIMAL)/COUNT so the
+    threshold double is identical across engines.
+
+    Scale: the scalar average broadcasts; NOT EXISTS is a LEFT ANTI join
+    against the recent-order keys (the date filter pushes to the orders
+    scan and shrinks the anti-join build side); nation-list filter pushes
+    to the customer scan.
+    """
+    nations = [0, 1, 2, 3, 4, 5, 6]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
