@@ -1,0 +1,100 @@
+"""Embedding clustering: distributed Lloyd's k-means over an
+``array<float>`` column.
+
+Why hand-rolled rather than ``pyspark.ml.clustering.KMeans``: the MLlib
+estimator pulls in the RDD-based legacy path and nondeterministic
+k-means|| init; this implementation is pure DataFrame ops with
+DETERMINISTIC seeding (the k lowest-id vectors), so results are
+reproducible across runs/cluster sizes and testable against a NumPy
+reference (tests/test_curation_ops.py).
+
+Per iteration:
+- assignment: broadcast the k centroids as an array-of-structs literal and
+  pick argmin squared-distance with one ``aggregate`` fold per centroid —
+  flat column expressions, no Python in the loop;
+- update: posexplode vectors to (cluster, pos, x) rows and take
+  AVG per (cluster, pos) — ONE hash aggregation with map-side partial
+  sums; the k×dim result is collected to the driver (tiny) to seed the
+  next round's literal.
+
+Driver-side state is k×dim floats per round — the same communication
+pattern as MLlib's own treeAggregate loop.  Iterations are fixed-count
+(training-data clustering runs a known small budget) rather than
+convergence-tested, keeping every run exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col: str, centroid: list[float]):
+    """Squared L2 distance between an array column and a Python-side
+    centroid, as a single fold: sum((v[i] - c[i])^2).  The centroid enters
+    the plan as a literal array (broadcast with the task binary)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` = argmin_k squared-distance(vec, centroid_k).
+    Ties resolve to the lowest cluster index (strict < comparison)."""
+    dists = [_sq_dist(vec_col, c).alias(f"_d{i}") for i, c in enumerate(centroids)]
+    with_d = df.select("*", *dists)
+    best = F.lit(0)
+    best_d = F.col("_d0")
+    for i in range(1, len(centroids)):
+        closer = F.col(f"_d{i}") < best_d
+        best = F.when(closer, F.lit(i)).otherwise(best)
+        best_d = F.when(closer, F.col(f"_d{i}")).otherwise(best_d)
+    return with_d.select(*df.columns, best.cast("int").alias("cluster"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means: returns (centroids, assignments DataFrame with
+    (id, cluster)).  Init = the vectors of the ``k`` smallest ids
+    (deterministic, partition-independent).
+
+    An empty cluster keeps its previous centroid (no reseeding), so the
+    iteration count fully determines the result.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_rows = base.orderBy("id").limit(k).collect()
+    centroids = [[float(x) for x in r.v] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = assign_clusters(base, "v", centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [dims[p] for p in sorted(dims)]
+        centroids = new_c
+    return centroids, assign_clusters(base, "v", centroids).select(
+        F.col("id"), F.col("cluster")
+    )
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    """(cluster, n_members, min_id) rollup — one small shuffle."""
+    return assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.min("id").alias("min_id")
+    )

@@ -478,3 +478,56 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each TRAIN document sharing at least
+    one word ``n``-gram with any TEST document, report
+    (doc_id, n_shared_grams, n_test_docs) — the evidence row a curation
+    pipeline uses to drop (or flag) contaminated training data.
+
+    Both sides reduce to distinct (id, shingle) rows via the zero-shuffle
+    ``shingle_rows`` projection; the overlap is ONE equi-join on the
+    shingle string followed by one aggregation on the train id.  The join
+    key is the n-gram text itself, so stop-gram skew (a ubiquitous phrase
+    bucket) is the scale hazard — mitigate by raising ``n`` or hashing
+    grams and filtering the top-frequency tail before the join
+    (AQE skew-join handles moderate cases).
+    """
+    tr = shingle_rows(train, id_col, text_col, n=n)
+    te = shingle_rows(test, id_col, text_col, n=n).select(
+        F.col("id").alias("test_id"), F.col("shingle").alias("t_sh")
+    )
+    return (
+        tr.join(te, tr.shingle == te.t_sh)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("test_id").alias("n_test_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Drop contaminated train docs: LEFT ANTI join against the distinct
+    contaminated-id set from ``contamination_report`` (projected to the id
+    column only, so the anti-join build side is slim)."""
+    bad = contamination_report(train, test, id_col, text_col, n=n).select(id_col)
+    return train.join(bad, on=id_col, how="left_anti")

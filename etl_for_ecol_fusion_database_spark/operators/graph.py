@@ -1,0 +1,93 @@
+"""Connected components over near-duplicate pair graphs.
+
+MinHash/SimHash/embedding dedup emits PAIRS (id_a, id_b, score); turning
+pairs into duplicate CLUSTERS (one survivor per group of transitively-
+linked documents) is a connected-components problem — the step every
+production dedup pipeline needs between candidate scoring and row
+deletion (a~b and b~c must collapse to ONE kept document even when a~c
+was never scored).
+
+Algorithm: iterative min-label propagation — every node repeatedly
+adopts the smallest label in its closed neighborhood until a fixpoint.
+Each round is one shuffle (groupBy node over the symmetric edge list);
+rounds needed = graph diameter, and near-dup graphs are
+small-diameter (clusters are near-cliques), so 3-5 rounds typically
+suffice.  For adversarial long-chain graphs the same loop still
+converges, just in O(diameter) rounds; the large-star/small-star
+O(log n)-round variant can replace the body without changing the
+interface if that regime ever matters.
+
+Scale notes:
+- the driver-side loop only inspects a single aggregated count per round
+  (the convergence check) — labels never leave the cluster;
+- lineage is truncated each round with ``localCheckpoint`` so the plan
+  does not grow unboundedly (on a real cluster, a checkpoint dir makes
+  this resilient as well as flat);
+- edges are re-used as a cached symmetric relation — one materialization,
+  ``diameter`` joins against it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_id: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with the MIN node id reachable through ``pairs``
+    (undirected); isolated nodes (in ``nodes`` but no pair) keep their own
+    id.  Returns (``node_id``, cluster_id).
+
+    Deterministic: the fixpoint is unique (min over a fixed reachable
+    set), independent of partitioning and iteration order.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(node_id).alias("node"), F.col(node_id).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("cluster_id"))
+
+
+def dup_clusters_summary(components: DataFrame) -> DataFrame:
+    """Cluster rollup: (cluster_id, n_members, survivor) where the
+    survivor is the min-id member — the row a dedup pass would KEEP.
+    One shuffle on cluster_id."""
+    return components.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("survivor"),
+    )

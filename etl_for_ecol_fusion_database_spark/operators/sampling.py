@@ -100,3 +100,60 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    budget: int = 2048,
+    ids_per_bucket: int = 10_000,
+) -> DataFrame:
+    """Sequential shard packing: walk documents in ``id_col`` order and cut
+    a new shard whenever the running ``size_col`` total passes ``budget``
+    (shard_id = exclusive-prefix-sum DIV budget) — how training pipelines
+    group documents into ~fixed-token shards/sequences.
+
+    A naive global cumulative sum is ``Window.orderBy`` with no partition
+    key — one task does all the work.  This implementation makes the
+    prefix sum DISTRIBUTED with the classic two-phase shape:
+
+    1. derive a deterministic coarse bucket ``id DIV ids_per_bucket``
+       (dense integer ids make this an order-preserving range partition
+       with no sampling pass, unlike ``repartitionByRange``);
+    2. per-bucket running sums under one (bucket)-partitioned window;
+    3. per-bucket totals cumulated into bucket OFFSETS by a second window
+       over the tiny bucket-total relation (thousands of rows, safe to
+       single-partition), broadcast back.
+
+    cum_exclusive = bucket_offset + in-bucket running sum - own size, so
+    every row's shard is a pure function of the data — stable across
+    cluster sizes and re-runs.
+    """
+    bucket = (F.col(id_col) / F.lit(ids_per_bucket)).cast("long")
+    sized = df.select(
+        "*",
+        bucket.alias("_bkt"),
+        F.col(size_col).cast("bigint").alias("_sz"),
+    )
+    w_run = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sized.withColumn("_run", F.sum("_sz").over(w_run))
+    totals = sized.groupBy("_bkt").agg(F.sum("_sz").alias("_tot"))
+    w_off = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        F.col("_bkt").alias("_obkt"),
+        (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_off"),
+    )
+    out = run.join(F.broadcast(offsets), run._bkt == F.col("_obkt"))
+    cum_excl = F.col("_off") + F.col("_run") - F.col("_sz")
+    return out.select(
+        *[c for c in df.columns],
+        F.floor(cum_excl / F.lit(budget)).cast("int").alias("shard_id"),
+    )

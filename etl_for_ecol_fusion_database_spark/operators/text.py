@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: regex for whitespace tokenization (kept RE2/Java-regex compatible so the
 #: DuckDB oracle uses the identical pattern)
@@ -326,4 +327,36 @@ def fingerprint_rolling(df: DataFrame, text_col: str = "text", window: int = 8) 
         "doc_id",
         F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("rolling_fp"),
         F.md5(F.col("_norm")).alias("exact_fp"),
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: (doc_id, token, tf, score, rank).
+
+    score = tf * ln((N + 1) / (df_t + 1)) with N = corpus size and df_t =
+    number of documents containing the token.  Every arithmetic step is the
+    same scalar double expression on any engine, so results are
+    oracle-checkable (no aggregation-order-sensitive float sums).
+
+    Shuffle shape: explode -> one (doc_id, token) aggregation (map-side
+    combine collapses repeats) -> token document-frequencies derived FROM
+    that aggregation (no second scan of the corpus) and broadcast back
+    (vocabulary << corpus) -> one doc_id-partitioned window for the
+    top-k rank.  Ties broken by token text for determinism.
+    """
+    n_docs = df.count()  # driver-side scalar: one count job, reused as a literal
+    tf = (
+        df.select("doc_id", F.explode(F.split(normalize_text(text_col), WS)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df_t") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(doc_freq), "token")
+        .select("doc_id", "token", "tf", F.round(score, 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )

@@ -851,3 +851,195 @@ def x7_scd2_status_intervals(spark, sf_dir):
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         "is_current",
     )
+
+
+# ===========================================================================
+# round-2 curation additions: duplicate clustering, decontamination,
+# shard packing, TF-IDF, k-means
+# ===========================================================================
+
+
+@query(
+    "x1_dup_clusters",
+    oracle=r"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id AS id,
+           CASE WHEN len(toks) >= 2
+                THEN list_distinct([toks[i] || ' ' || toks[i+1]
+                                    for i in generate_series(1, len(toks) - 1)])
+                ELSE list_distinct(toks) END AS sh
+    FROM (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ) t
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) >= 0.4
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+""",
+)
+def x1_dup_clusters(spark, sf_dir):
+    """X1 duplicate CLUSTERING: near-dup pairs (exact bigram Jaccard >=
+    0.4, bounded id range as ground truth) closed under transitivity via
+    iterative min-label propagation (operators/graph.py:connected_components)
+    — every doc labeled with the min id of its duplicate group, singletons
+    labeling themselves.  The DuckDB oracle computes the same fixpoint with
+    a recursive CTE, so the iterative DataFrame loop is verified against a
+    declarative transitive closure."""
+    from .operators import dedup, graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.4, max_id=200)
+    nodes = docs.filter(F.col("doc_id") < 200).select(F.col("doc_id").alias("id"))
+    comp = graph.connected_components(pairs, nodes)
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+@query(
+    "x6_decontaminate",
+    oracle=r"""
+WITH base AS (
+    SELECT doc_id, CAST((doc_id * 2654435761) % 1000 AS INT) AS bucket,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, bucket,
+           unnest(CASE WHEN len(toks) >= 3
+                       THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                           for i in generate_series(1, len(toks) - 2)])
+                       ELSE list_distinct(toks) END) AS shingle
+    FROM base
+),
+tr AS (SELECT doc_id, shingle FROM sh WHERE bucket < 800),
+te AS (SELECT doc_id, shingle FROM sh WHERE bucket >= 900)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.shingle) AS n_shared_grams,
+       COUNT(DISTINCT te.doc_id) AS n_test_docs
+FROM tr JOIN te ON tr.shingle = te.shingle
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+""",
+)
+def x6_decontaminate(spark, sf_dir):
+    """X6 benchmark decontamination: flag TRAIN documents (hash_split
+    train bucket) sharing any word trigram with any TEST document — the
+    n-gram-overlap contamination check run before training.  One equi-join
+    on the gram text between two zero-shuffle shingle projections
+    (operators/dedup.py:contamination_report); the split assignment is the
+    portable Knuth hash so the oracle reproduces it exactly."""
+    from .operators import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, "doc_id")
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    test = split.filter(F.col("split") == "test").select("doc_id", "text")
+    return (
+        dedup.contamination_report(train, test, "doc_id", "text", n=3)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x6_pack_shards",
+    oracle=r"""
+WITH sized AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 500.0) AS INT) AS shard_id
+FROM sized ORDER BY doc_id
+""",
+)
+def x6_pack_shards(spark, sf_dir):
+    """X6 shard packing: documents in id order, new shard every ~500
+    tokens (exclusive-prefix-sum DIV budget) — training-shard assembly.
+    The prefix sum is DISTRIBUTED (operators/sampling.py:pack_shards):
+    deterministic id-range buckets -> per-bucket windows + a tiny
+    bucket-offset window — no single-partition global window; the oracle
+    states the same math as one declarative cumsum."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tokens"),
+    )
+    return sampling.pack_shards(
+        docs, id_col="doc_id", size_col="n_tokens", budget=500, ids_per_bucket=100
+    ).orderBy("doc_id")
+
+
+@query(
+    "x3_tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS c FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln((n.c + 1.0) / (dfreq.df_t + 1.0)), 6) AS score
+    FROM tf CROSS JOIN n JOIN dfreq ON dfreq.token = tf.token
+)
+SELECT doc_id, token, tf, score, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, token) AS INT) AS rank
+      FROM scored)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def x3_tfidf_top_terms(spark, sf_dir):
+    """X3 TF-IDF top terms per document: one explode + (doc, token)
+    aggregation; document frequencies derived from that aggregate (not a
+    second corpus scan) and broadcast back; one doc-partitioned window
+    for the top-3 (operators/text.py:tfidf_top_terms).  All arithmetic is
+    scalar double expressions — no order-sensitive float aggregation — so
+    the result is exactly oracle-checkable."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "text", k=3).orderBy("doc_id", "rank")
+
+
+@query("x8_kmeans_clusters")  # iterative driver loop -> rows-only
+def x8_kmeans_clusters(spark, sf_dir):
+    """X8 embedding k-means (Lloyd's, k=8, 3 iterations, deterministic
+    lowest-id init — operators/clustering.py): per-vector cluster
+    assignment.  Iterative with driver-held k x dim state, so there is no
+    single-SQL oracle; tests/test_curation_ops.py verifies the exact
+    assignment against a NumPy reference implementation."""
+    from .operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assign = clustering.kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
+    return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")

@@ -115,3 +115,108 @@ def test_repetition_signals_orders_boilerplate(spark):
     assert rows[1]["top_bigram_fraction"] == 1.0
     assert rows[2]["dup_token_fraction"] == 0.0
     assert rows[2]["top_token_fraction"] < 0.2
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: connected components, decontamination, packing, k-means
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-built graph: {1-2, 2-3} + {10-11} + isolated 20 — three
+    components labeled by their min member, regardless of edge direction
+    or chain length."""
+    from etl_for_ecol_fusion_database_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], ["id"])
+    got = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs ~diameter rounds — exercises the iteration
+    loop beyond one hop."""
+    from etl_for_ecol_fusion_database_spark.operators import graph
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["id"])
+    out = graph.connected_components(pairs, nodes)
+    assert out.select("cluster_id").distinct().collect()[0][0] == 0
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_decontaminate_removes_exactly_flagged(spark, sf_dir):
+    """decontaminate = train MINUS contamination_report ids, and a doc
+    sharing zero test trigrams survives."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, "doc_id")
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    test = split.filter(F.col("split") == "test").select("doc_id", "text")
+    flagged = {r.doc_id for r in dedup.contamination_report(train, test).collect()}
+    clean = dedup.decontaminate(train, test)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_train = {r.doc_id for r in train.select("doc_id").collect()}
+    assert kept == all_train - flagged
+    assert flagged  # fixture corpora share boilerplate -> non-vacuous
+
+
+def test_pack_shards_budget_and_order(spark, sf_dir):
+    """Shards are contiguous in id order, sizes are within budget +
+    one-doc overflow, and the distributed cumsum equals the naive one."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tokens")
+    )
+    out = sampling.pack_shards(
+        docs, id_col="doc_id", size_col="n_tokens", budget=500, ids_per_bucket=100
+    ).orderBy("doc_id").collect()
+    # contiguity: shard ids are non-decreasing in doc order
+    shard_seq = [r.shard_id for r in out]
+    assert shard_seq == sorted(shard_seq)
+    # every shard except possibly the last holds >= budget only via its
+    # final straddling doc: size minus last doc < budget
+    from collections import defaultdict
+
+    sizes = defaultdict(list)
+    for r in out:
+        sizes[r.shard_id].append(r.n_tokens)
+    for sid, toks in sizes.items():
+        assert sum(toks) - toks[-1] < 500, f"shard {sid} overfull before last doc"
+    # parity with the naive driver-side prefix sum
+    cum = 0
+    for r in out:
+        assert r.shard_id == cum // 500
+        cum += r.n_tokens
+
+
+def test_kmeans_matches_numpy(spark, sf_dir):
+    """The distributed Lloyd's loop must reproduce a NumPy reference
+    exactly (same init, same iteration count, ties to lowest index)."""
+    import numpy as np
+
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    k, n_iter = 8, 3
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin takes first (lowest) index on ties
+        for ci in range(k):
+            if (lab == ci).any():
+                C[ci] = X[lab == ci].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expect = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
+    _, assign = clustering.kmeans_fit(emb, "vec_id", "embedding", k=k, n_iter=n_iter)
+    got = {r.id: r.cluster for r in assign.collect()}
+    assert got == expect
