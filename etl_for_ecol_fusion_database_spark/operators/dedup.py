@@ -299,13 +299,19 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification for the (few) candidates, set ops as joins:
     # |A∩B| = count of shared shingle rows per pair, |A∪B| = szA + szB - ∩
-    # — every step codegen joins/aggregations, no array materialization
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # — every step codegen joins/aggregations, no array materialization.
+    # The set elements travel as their 64-bit xxhash (8-byte join keys)
+    # rather than the n-gram strings: the intersection shuffle shrinks by
+    # the mean gram length and the equality compare is one long — identical
+    # jaccard modulo 2^-64-probability hash collisions (the all-pairs
+    # string-keyed ground truth lives in ngram_jaccard_pairs).
+    hs = pairs.select("id", "h")
+    hs_a = hs.select(F.col("id").alias("id_a"), "h")
+    hs_b = hs.select(F.col("id").alias("id_b"), "h")
     inter = (
         cand.select("id_a", "id_b")
-        .join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(hs_a, "id_a")
+        .join(hs_b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

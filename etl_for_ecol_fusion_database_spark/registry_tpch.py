@@ -82,8 +82,14 @@ def q2_min_cost_supplier(spark, sf_dir):
     both engines, so the MIN-equality join keys agree bit-for-bit.
 
     Scale: ps is a lineitem-sized aggregation on (partkey, suppkey); the
-    part slice and all dimensions broadcast; the per-part MIN reuses ps.
+    part slice and all dimensions broadcast.  The per-part MIN is a
+    WINDOW over eu_ps — a separate aggregate branch would make Catalyst
+    re-plan the whole lineitem aggregation subtree (no cross-branch CTE
+    reuse), scanning the fact twice; the window adds one l_partkey
+    exchange of already-aggregated (part, supplier) rows instead.
     """
+    from pyspark.sql.window import Window
+
     l = _t(spark, sf_dir, "lineitem")
     ps = (
         l.groupBy("l_partkey", "l_suppkey")
@@ -100,16 +106,11 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
     )
-    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    w_part = Window.partitionBy("l_partkey")
     return (
         eu_ps.join(p, F.col("l_partkey") == p.p_partkey)
-        .join(
-            min_cost,
-            (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        .withColumn("_min_cost", F.min("unit_cost").over(w_part))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
             "s_name",
@@ -399,10 +400,17 @@ def q11_important_value(spark, sf_dir):
     ``value * 1000 > total`` in exact DECIMAL (integer-scaled, no 0.001
     literal whose binary rendering could differ between engines).
 
-    Scale: the scalar total is a one-row broadcast join against the
-    per-part aggregate — the aggregation shuffle happens once and is
-    reused by both branches (no driver round-trip, no second scan).
+    Scale: the global total is an unpartitioned window SUM over the
+    per-part aggregate, NOT a scalar-subquery branch — the broadcast-join
+    formulation made Catalyst plan the whole lineitem join/agg subtree
+    twice (no automatic CTE reuse across DataFrame branches), doubling the
+    fact scan.  The window costs one exchange of the already-aggregated
+    per-part rows (|parts| small rows), so lineitem is scanned exactly
+    once; at a part domain too large for one partition, replace with a
+    persisted vals + one-row cross join.
     """
+    from pyspark.sql.window import Window
+
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     n = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
     l = _t(spark, sf_dir, "lineitem")
@@ -412,10 +420,9 @@ def q11_important_value(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_dec(F.col("l_extendedprice") * F.col("l_quantity"))).alias("value"))
     )
-    total = vals.agg(F.sum("value").alias("total"))
     return (
-        vals.join(F.broadcast(total))
-        .filter(F.col("value") * 1000 > F.col("total"))
+        vals.withColumn("_total", F.sum("value").over(Window.partitionBy()))
+        .filter(F.col("value") * 1000 > F.col("_total"))
         .select("l_partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
@@ -537,9 +544,13 @@ def q15_top_supplier(spark, sf_dir):
     max-equality compare runs on exact DECIMAL sums, so ties and the max
     itself agree across engines bit-for-bit.
 
-    Scale: per-supplier aggregate (small domain) computed once; the MAX
-    is a one-row broadcast back against it; supplier dim broadcasts.
+    Scale: per-supplier aggregate (small domain) computed ONCE — the MAX
+    is an unpartitioned window over the aggregated |suppliers| rows (a
+    scalar-subquery branch would re-plan the lineitem aggregation twice;
+    Catalyst has no cross-branch CTE reuse); supplier dim broadcasts.
     """
+    from pyspark.sql.window import Window
+
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -547,11 +558,10 @@ def q15_top_supplier(spark, sf_dir):
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev()).alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     return (
-        revenue.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        revenue.withColumn("_mx", F.max("total_revenue").over(Window.partitionBy()))
+        .filter(F.col("total_revenue") == F.col("_mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
@@ -632,25 +642,27 @@ WHERE p.p_brand = 'Brand#13' AND p.p_size < 8
 )
 def q17_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17: correlated AVG subquery (lines below 20% of their
-    part's average quantity), decorrelated into a per-part aggregate +
-    equi-join.  The average is SUM(DECIMAL)/COUNT so both engines derive
-    the identical double before the 0.2 compare.
-
-    Scale: per-part avg shuffles on partkey once; the brand/size slice
-    broadcasts; at 1000 executors this is two lineitem scans — Catalyst
-    cannot merge them, but both are column-pruned to 3 columns.
+    part's average quantity), decorrelated into a per-part WINDOW over the
+    part-sliced join — the broadcast part filter restricts WHICH parts
+    survive, never which lines of a surviving part, so the window average
+    equals the subquery's whole-table per-part average while lineitem is
+    scanned ONCE and only the sliced rows shuffle on partkey (the classic
+    two-aggregate form scans the fact twice and shuffles all of it).
+    The average is SUM(DECIMAL)/COUNT so both engines derive the identical
+    double before the 0.2 compare.
     """
+    from pyspark.sql.window import Window
+
     l = _t(spark, sf_dir, "lineitem")
-    avg_qty = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("aq")
-    )
     p = F.broadcast(
         _t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") < 8))
     )
+    w = Window.partitionBy("l_partkey")
+    aq = F.sum(_dec(F.col("l_quantity"))).over(w).cast("double") / F.count(F.lit(1)).over(w)
     return (
         l.join(p, l.l_partkey == p.p_partkey)
-        .join(avg_qty, l.l_partkey == F.col("a_partkey"))
-        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .withColumn("_aq", aq)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_aq"))
         .agg(
             (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
             .cast("double")
@@ -802,15 +814,20 @@ def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape (receipt-vs-commit lateness proxied by shipping
     more than 60 days after the order date): the double-correlated
     EXISTS / NOT EXISTS — "the only late supplier in a multi-supplier
-    order" — expressed as one per-order aggregate join instead of two
-    correlated re-scans: per order, count distinct suppliers and count
-    distinct LATE suppliers; keep late lines where suppliers > 1 and
-    late_suppliers == 1.
+    order" — expressed as per-order WINDOW aggregates instead of two
+    correlated re-scans: over one l_orderkey partitioning of the joined
+    relation, collect the distinct supplier set and the distinct LATE
+    supplier set; keep late lines where suppliers > 1 and late suppliers
+    == 1.
 
-    Scale: ONE orderkey-partitioned aggregate replaces both EXISTS
-    subqueries (Catalyst would plan two extra lineitem shuffles for the
-    literal form); the order/status filter prunes the probe side.
+    Scale: ONE orderkey shuffle and ONE scan of each fact replaces both
+    EXISTS subqueries AND the aggregate-branch self-join (which Catalyst
+    plans as a second lineitem+orders scan — no cross-branch CTE reuse).
+    collect_set per order is bounded by lines-per-order (single digits),
+    so the window state is tiny.
     """
+    from pyspark.sql.window import Window
+
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     n = F.broadcast(
         _t(spark, sf_dir, "nation").filter(
@@ -823,18 +840,14 @@ def q21_waiting_supplier(spark, sf_dir):
     lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("po_orderkey"))
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1),
+        lo.withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "_n_late_supp",
+            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
         )
+        .filter(F.col("is_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")

@@ -182,3 +182,21 @@ def test_scd2_single_shuffle(spark, sf_dir):
     n = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n == 1, f"SCD2 derivation should be one shuffle, got {n}\n{plan}"
     assert plan.count("Sort ") <= 1, f"lead window re-sorted:\n{plan}"
+
+
+def test_subquery_queries_scan_facts_once(spark, sf_dir):
+    """The scalar/correlated-subquery TPC-H queries must not re-plan their
+    fact-aggregation subtree per branch (Catalyst has no cross-branch CTE
+    reuse) — each was rewritten onto a window so lineitem/orders are
+    scanned the minimum number of times."""
+    expected = {
+        "q2_min_cost_supplier": 1,
+        "q11_important_value": 1,
+        "q15_top_supplier": 1,
+        "q17_small_qty_revenue": 1,
+        "q21_waiting_supplier": 2,  # one lineitem + one orders
+    }
+    for name, n in expected.items():
+        plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().simpleString()
+        scans = plan.count("lineitem.parquet") + plan.count("orders.parquet")
+        assert scans == n, f"{name}: {scans} fact scans (want {n})"
