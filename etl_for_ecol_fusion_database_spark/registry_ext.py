@@ -1043,3 +1043,108 @@ def x8_kmeans_clusters(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _, assign = clustering.kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
     return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")
+
+
+@query(
+    "x9_curation_pipeline",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, norm,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(0.4 * (len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+                        / len(toks)::DOUBLE)
+                 + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+                 + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 6) AS quality_score,
+           {_LANG_SCORE_SQL.replace("toks", "ltoks")}
+    FROM t
+),
+filtered AS (
+    SELECT * FROM scored
+    WHERE quality_score >= 0.5
+      AND {_LANG_CASE} = 'en'
+),
+survivors AS (
+    SELECT MIN(doc_id) AS doc_id, arg_min(n_tokens, doc_id) AS n_tokens
+    FROM filtered GROUP BY norm
+),
+tr AS (
+    SELECT s.doc_id, s.n_tokens FROM survivors s
+    WHERE (s.doc_id * 2654435761) % 1000 < 800
+),
+base AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 5
+                       THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                           || ' ' || toks[i+3] || ' ' || toks[i+4]
+                                           for i in generate_series(1, len(toks) - 4)])
+                       ELSE list_distinct(toks) END) AS shingle
+    FROM base
+),
+contaminated AS (
+    SELECT DISTINCT a.doc_id
+    FROM sh a
+    JOIN tr ON tr.doc_id = a.doc_id
+    JOIN sh b ON a.shingle = b.shingle
+    JOIN documents d ON d.doc_id = b.doc_id AND (d.doc_id * 2654435761) % 1000 >= 900
+),
+clean AS (
+    SELECT tr.doc_id, tr.n_tokens FROM tr
+    WHERE tr.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 500.0) AS INT) AS shard_id
+FROM clean ORDER BY doc_id
+""",
+)
+def x9_curation_pipeline(spark, sf_dir):
+    """X9 END-TO-END curation pipeline, composed from the operator
+    library: quality filter + language filter + exact dedup
+    (text.training_data_prep) -> deterministic train split
+    (sampling.hash_split) -> benchmark decontamination against the test
+    split (dedup.decontaminate, 5-gram overlap — trigrams flag ~95% of
+    this boilerplate-heavy fixture corpus; 5-grams ~1%) -> token-budget shard
+    packing (sampling.pack_shards).  Output: (doc_id, n_tokens, shard_id)
+    — the training-shard manifest.
+
+    This is the full C4/Gopher-style corpus -> training-shards flow as ONE
+    lazy DAG: Catalyst sees every stage, so column pruning and filter
+    pushdown cross stage boundaries; the oracle chains the same steps
+    declaratively and checks the composition end-to-end, not just the
+    pieces."""
+    from .operators import dedup, sampling, text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    prep = text_ops.training_data_prep(docs, min_quality=0.5, lang="en")
+    surv = sampling.hash_split(prep.select("doc_id", "n_tokens"), "doc_id")
+    train = (
+        surv.filter(F.col("split") == "train")
+        .select("doc_id", "n_tokens")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    test = (
+        sampling.hash_split(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.col("split") == "test")
+        .select("doc_id", "text")
+    )
+    clean = dedup.decontaminate(train, test, "doc_id", "text", n=5).select(
+        "doc_id", "n_tokens"
+    )
+    return sampling.pack_shards(
+        clean, id_col="doc_id", size_col="n_tokens", budget=500, ids_per_bucket=100
+    ).orderBy("doc_id")
