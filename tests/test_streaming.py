@@ -150,3 +150,45 @@ def test_parquet_sink_checkpointed(spark, sf_dir):
         q.awaitTermination()
         out = spark.read.parquet(f"{d}/out")
         assert out.count() == spark.table("t_tumbling").count()
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment replayed with availableNow equals the batch
+    left join (stream-static joins are stateless — every event appears
+    exactly once, enriched or NULL-padded)."""
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("purchase", "commerce"), ("view", "ui")],
+        ["event_type", "category"],
+    )
+    stream = es.enrich_stream_with_dimension(
+        es.read_events_stream(spark, sf_dir), dim, on="event_type"
+    ).select("event_id", "event_type", "category")
+    q = es.run_to_memory(stream, "enriched")
+    q.awaitTermination(120)
+    got = spark.table("enriched")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), on="event_type", how="left")
+        .select("event_id", "event_type", "category")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, sf_dir):
+    """The foreachBatch sink writes once per batch id, deduped on the key —
+    reading the sink back yields no duplicate (batch_id, key) pairs and
+    covers every input row's key."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        events = es.read_events_stream(spark, sf_dir).select("event_id", "user_id")
+        q = es.foreach_batch_dedup_sink(
+            events, f"{d}/out", f"{d}/ckpt", key_cols=["event_id"]
+        )
+        q.awaitTermination(120)
+        out = spark.read.option("basePath", f"{d}/out").parquet(f"{d}/out")
+        n_events = load_table(spark, sf_dir, "events").count()
+        assert out.select("event_id").distinct().count() == n_events
+        per_batch = out.groupBy("batch_id", "event_id").count()
+        assert per_batch.filter(F.col("count") > 1).count() == 0
