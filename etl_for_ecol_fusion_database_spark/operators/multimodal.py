@@ -115,3 +115,54 @@ def media_metadata_summary(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("media_meta.n_bytes")).alias("total_bytes"),
     )
+
+
+#: output schema of the frame sampler: one row per sampled frame
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("feature_json", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames_batch(n_frames: int = 4, frame_bytes: int = 64):
+    """Build an Arrow-batched frame sampler: treat the media BLOB as a
+    'video' byte stream, take ``n_frames`` evenly spaced ``frame_bytes``
+    windows (real impl: container demux + keyframe decode — same UDTF-like
+    one-row-in/many-rows-out shape), and emit a deterministic fake feature
+    per frame as JSON (driver-canonicalizable, no array cells)."""
+    import json
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "feature_json": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media_bytes"]):
+                buf = buf or b""
+                n = len(buf)
+                step = max(n // n_frames, 1)
+                for k in range(n_frames):
+                    off = min(k * step, max(n - 1, 0))
+                    window = buf[off : off + frame_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_offset"].append(off)
+                    rows["feature_json"].append(json.dumps(_fake_feature(window, 4)))
+            yield pd.DataFrame(rows)
+
+    return _sample
+
+
+def sample_frames(df: DataFrame, *, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling over the media table: one input row fans out to
+    ``n_frames`` output rows via mapInPandas (the explode-shaped media
+    transform — video -> frame features for a multimodal training set).
+
+    Scale: fan-out happens inside the Arrow batch (no shuffle); downstream
+    per-frame ops inherit the input partitioning.  Deterministic: frame
+    offsets are a pure function of the byte length."""
+    return df.select("doc_id", "media_bytes").mapInPandas(
+        sample_frames_batch(n_frames, frame_bytes), schema=FRAME_SCHEMA
+    )

@@ -1191,3 +1191,20 @@ def x5_enriched_events(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query("x4_frame_sample")  # mapInPandas fan-out -> rows-only driver check
+def x4_frame_sample(spark, sf_dir):
+    """X4 frame sampling: each media row fans out to 4 evenly-spaced
+    'frame' windows via one Arrow-batched mapInPandas pass (video ->
+    frame-features shape; decode honestly stubbed, offsets + features
+    deterministic).  Fan-out happens inside the Arrow batch — no shuffle.
+    tests/test_curation_ops.py pins fan-out arity and determinism."""
+    from .operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        multimodal.sample_frames(media, n_frames=4)
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id", "frame_idx")
+    )

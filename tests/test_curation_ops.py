@@ -220,3 +220,63 @@ def test_kmeans_matches_numpy(spark, sf_dir):
     _, assign = clustering.kmeans_fit(emb, "vec_id", "embedding", k=k, n_iter=n_iter)
     got = {r.id: r.cluster for r in assign.collect()}
     assert got == expect
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized adversarial check: on Erdos-Renyi-ish graphs the
+    distributed min-label fixpoint must equal a driver-side union-find."""
+    import random
+
+    from etl_for_ecol_fusion_database_spark.operators import graph
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 80))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {v: find(v) for v in range(n)}
+        # canonical min-id labels
+        roots = {}
+        for v in range(n):
+            r = find(v)
+            roots.setdefault(r, min(v, r))
+        expect = {v: roots[find(v)] for v in range(n)}
+        pairs = spark.createDataFrame(edges or [(0, 0)], ["id_a", "id_b"])
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        got = {
+            r.node: r.cluster_id
+            for r in graph.connected_components(pairs, nodes).collect()
+        }
+        assert got == expect, f"trial {trial} mismatch"
+
+
+def test_frame_sampler_fanout_and_determinism(spark, sf_dir):
+    """Every media row fans out to exactly n_frames rows, offsets are a
+    pure function of length, and features are canonicalizable JSON."""
+    from etl_for_ecol_fusion_database_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, n_frames=4)
+    n_docs = media.count()
+    assert frames.count() == 4 * n_docs
+    a = frames.orderBy("doc_id", "frame_idx").collect()
+    b = multimodal.sample_frames(media, n_frames=4).orderBy("doc_id", "frame_idx").collect()
+    assert a == b
+    import json
+
+    feat = json.loads(a[0].feature_json)
+    assert isinstance(feat, list) and len(feat) == 4
