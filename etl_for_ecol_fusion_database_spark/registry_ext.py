@@ -1208,3 +1208,147 @@ def x4_frame_sample(spark, sf_dir):
         .filter(F.col("doc_id") < 200)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ===========================================================================
+# W3-W5 window breadth, grouping sets, pivot (classic OLAP surface)
+# ===========================================================================
+
+
+@query(
+    "w3_running_user_metrics",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+            PARTITION BY user_id ORDER BY epoch(ts)
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_7d,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS INT) AS value_quartile,
+       round(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS value_pctrank
+FROM events
+WHERE user_id < 50
+ORDER BY user_id, seq
+""",
+)
+def w3_running_user_metrics(spark, sf_dir):
+    """W3-W5 window breadth: a 7-day RANGE-frame running sum (event-time
+    sliding aggregate), NTILE quartiles and PERCENT_RANK — all FOUR window
+    functions share ONE user_id partitioning (different orderings re-sort
+    within partitions but never re-shuffle).  The range frame orders by
+    epoch seconds so Spark's rangeBetween (long offsets) and DuckDB's
+    RANGE INTERVAL semantics meet on the identical integer frame."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    epoch = F.unix_timestamp("ts")
+    w_range = (
+        Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-604800, 0)
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w_range)
+            .cast("double")
+            .alias("value_7d"),
+            F.row_number().over(w_seq).cast("int").alias("seq"),
+            F.ntile(4).over(w_val).cast("int").alias("value_quartile"),
+            F.round(F.percent_rank().over(w_val), 6).alias("value_pctrank"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@query(
+    "a5_rollup_revenue",
+    oracle="""
+SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+       COALESCE(n.n_name, 'ALL') AS nation_name,
+       CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS INT) AS gid,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY gid, region_name, nation_name
+""",
+)
+def a5_rollup_revenue(spark, sf_dir):
+    """A5 grouping sets: revenue at nation, region and grand-total levels
+    in ONE pass via ROLLUP — the multi-granularity aggregation an OLAP
+    cube needs without three separate scans.  GROUPING() bits pin the
+    level id identically on both engines; NULL group keys render as
+    'ALL'.  Scale: rollup is a single expanded aggregation — one shuffle,
+    partial aggregation still applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    gid = (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int")
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            gid.alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "gid",
+            "revenue",
+        )
+        .orderBy("gid", "region_name", "nation_name")
+    )
+
+
+@query(
+    "a6_priority_pivot",
+    oracle="""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM orders
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def a6_priority_pivot(spark, sf_dir):
+    """A6 pivot: order counts per year spread across priority columns —
+    ``groupBy().pivot(values=[...])`` with an EXPLICIT value list (never
+    the two-pass distinct-discovery form at scale) plus an 'other'
+    bucket.  A pivot with a known value list compiles to exactly the
+    CASE-sum aggregation the oracle states: one shuffle, map-side
+    partials."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("other")
+    )
+    return (
+        o.select(F.year("o_orderdate").cast("int").alias("o_year"), bucket.alias("b"))
+        .groupBy("o_year")
+        .pivot("b", ["urgent", "high", "medium", "other"])
+        .count()
+        .fillna(0)
+        .orderBy("o_year")
+    )
