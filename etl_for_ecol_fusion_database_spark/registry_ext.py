@@ -1352,3 +1352,104 @@ def a6_priority_pivot(spark, sf_dir):
         .fillna(0)
         .orderBy("o_year")
     )
+
+
+@query(
+    "u2_setops_repeat_customers",
+    oracle="""
+WITH c97 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+c98 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+UNION ALL
+SELECT 'only_1997' AS cohort, COUNT(*) AS n FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+UNION ALL
+SELECT 'only_1998' AS cohort, COUNT(*) AS n FROM (SELECT * FROM c98 EXCEPT SELECT * FROM c97)
+ORDER BY cohort
+""",
+)
+def u2_setops_repeat_customers(spark, sf_dir):
+    """U2 set-operation breadth: INTERSECT / EXCEPT / UNION ALL over
+    year-cohort customer keys — retained vs churned vs new-customer
+    counts.  Set ops on DISTINCT key sets plan as semi/anti joins on one
+    key column (slim shuffles); the year filters push to the orders
+    scan."""
+    o = load_table(spark, sf_dir, "orders")
+    def cohort(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+    c97, c98 = cohort(1997), cohort(1998)
+    both = c97.intersect(c98).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    only97 = c97.exceptAll(c98).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_1997").alias("cohort"), "n"
+    )
+    only98 = c98.exceptAll(c97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_1998").alias("cohort"), "n"
+    )
+    return both.unionByName(only97).unionByName(only98).orderBy("cohort")
+
+
+@query(
+    "f8_scalar_breadth",
+    oracle="""
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       CAST(datediff('day', CAST('1995-01-01' AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+       CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS order_dow,
+       upper(substr(o_orderpriority, 3)) AS priority_word,
+       CAST(length(o_orderstatus) AS INT) AS status_len,
+       concat(o_orderstatus, '/', o_orderpriority) AS status_priority,
+       replace(o_orderpriority, '-', '_') AS priority_snake,
+       CAST(round(o_totalprice, -2) AS DOUBLE) AS price_rounded,
+       CAST(CASE WHEN o_totalprice >= 0 THEN floor(sqrt(o_totalprice)) ELSE NULL END AS BIGINT) AS price_sqrt_floor
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+)
+def f8_scalar_breadth(spark, sf_dir):
+    """F8 scalar-function breadth (§2.8 completeness): date_trunc,
+    day-diff, quarter/day-of-week extraction, substring/upper/concat/
+    replace string derivations, round-to-hundreds and integer sqrt — every
+    expression a built-in (JVM codegen, no UDF), each aliased identically
+    to the oracle.  DOW convention pinned: both engines number Sunday=0
+    via dayofweek()-1."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("int")
+            .alias("days_since_epoch_start"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+            F.upper(F.substring("o_orderpriority", 3, 100)).alias("priority_word"),
+            F.length("o_orderstatus").cast("int").alias("status_len"),
+            F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+            F.regexp_replace("o_orderpriority", "-", "_").alias("priority_snake"),
+            F.round(F.col("o_totalprice"), -2).cast("double").alias("price_rounded"),
+            F.when(F.col("o_totalprice") >= 0, F.floor(F.sqrt("o_totalprice")))
+            .cast("bigint")
+            .alias("price_sqrt_floor"),
+        )
+        .orderBy("o_orderkey")
+    )

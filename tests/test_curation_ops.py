@@ -280,3 +280,29 @@ def test_frame_sampler_fanout_and_determinism(spark, sf_dir):
 
     feat = json.loads(a[0].feature_json)
     assert isinstance(feat, list) and len(feat) == 4
+
+
+def test_pack_shards_random_sizes_match_naive(spark):
+    """Randomized check: the distributed two-phase prefix sum must equal a
+    naive sequential packing for arbitrary sizes/budgets/bucket widths —
+    including empty buckets (id gaps) and docs larger than the budget."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randrange(50, 200)
+        ids = sorted(rng.sample(range(0, 5000), n))  # gappy ids
+        sizes = [rng.randrange(1, 400) for _ in range(n)]
+        budget = rng.choice([64, 100, 250])
+        bkt = rng.choice([10, 100, 1000])
+        df = spark.createDataFrame(list(zip(ids, sizes)), ["doc_id", "n_tokens"])
+        got = {
+            r.doc_id: r.shard_id
+            for r in sampling.pack_shards(
+                df, id_col="doc_id", size_col="n_tokens", budget=budget, ids_per_bucket=bkt
+            ).collect()
+        }
+        cum = 0
+        for i, sz in zip(ids, sizes):
+            assert got[i] == cum // budget, f"trial {trial} id {i}"
+            cum += sz
