@@ -1453,3 +1453,238 @@ def f8_scalar_breadth(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# ===========================================================================
+# X5 gap-fill, grouped-UDAF median, null-safe join, fuzzy match, CUBE
+# ===========================================================================
+
+
+@query(
+    "x5_gap_fill_hourly",
+    oracle="""
+WITH h AS (
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr,
+           SUM(CAST(value AS DECIMAL(38,6))) AS v_dec
+    FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY user_id),
+spine AS (
+    SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hr
+    FROM b
+),
+j AS (
+    SELECT s.user_id, s.hr, h.v_dec
+    FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.hr = h.hr
+)
+SELECT user_id,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(v_dec IS NOT NULL AS INT) AS observed,
+       CAST(last_value(v_dec IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS v_filled
+FROM j
+""",
+)
+def x5_gap_fill_hourly(spark, sf_dir):
+    """X5 hypertable-style gap fill: densify each user's hourly series over
+    its own [min, max] hour range (``sequence`` + ``explode`` — the spine is
+    generated from one slim per-user aggregate, never materialized wide),
+    left-join the observed hourly sums back, and forward-fill gaps with
+    ``last(..., ignorenulls)`` over the user partition.  One shuffle on
+    user_id serves the agg, the spine join, and the fill window; the spine
+    side is tiny (per-user bounds) so AQE broadcasts it.  Decimal-accumulate
+    / final-double per the driver-canon convention."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("v_dec"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v_dec").isNotNull().cast("int").alias("observed"),
+        F.last("v_dec", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+    )
+
+
+@query(
+    "x3_grouped_median",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def x3_grouped_median(spark, sf_dir):
+    """X3 exact grouped median via ``applyInPandas`` — the Arrow-batched
+    grouped-UDAF escape hatch, exercised against a real DuckDB oracle (the
+    only such path with a full value-hash check; kmeans/decode are
+    rows-only).  Each (lang, source) group arrives as ONE pandas frame;
+    np.median's even-count linear interpolation matches DuckDB's median()
+    exactly on integer inputs.  Production note: for a plain median Spark's
+    built-in ``F.median`` stays JVM-side and is preferred — this entry
+    exists to pin the applyInPandas contract (schema, grouping, Arrow
+    batches) that genuinely-custom per-group logic needs."""
+    import pandas as pd
+
+    def _med(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        return pd.DataFrame(
+            [
+                {
+                    "lang": key[0],
+                    "source": key[1],
+                    "n_docs": len(pdf),
+                    "median_chars": float(np.median(pdf["n_chars"].to_numpy())),
+                }
+            ]
+        )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .applyInPandas(
+            _med, schema="lang string, source string, n_docs bigint, median_chars double"
+        )
+    )
+
+
+@query(
+    "j7_nullsafe_join",
+    oracle="""
+WITH c2 AS (
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                ELSE c_mktsegment END AS seg
+    FROM customer
+),
+l AS (SELECT seg, COUNT(*) AS n_cust FROM c2 GROUP BY seg),
+r AS (SELECT seg,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      FROM c2 GROUP BY seg)
+SELECT COALESCE(l.seg, '<null>') AS segment, l.n_cust, r.sum_bal
+FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+""",
+)
+def j7_nullsafe_join(spark, sf_dir):
+    """J7 null-safe equi-join (``eqNullSafe`` <=> / IS NOT DISTINCT FROM):
+    NULL join keys match each other instead of dropping — the semantics a
+    plain equi-join silently loses.  Catalyst still plans this as a hash
+    join (null-safe equality is a valid hash key), not a nested loop; both
+    sides here are one-row-per-segment aggregates, so the join broadcasts."""
+    c2 = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    l = c2.groupBy("seg").agg(F.count(F.lit(1)).alias("n_cust")).alias("l")
+    r = (
+        c2.groupBy("seg")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_bal")
+        )
+        .alias("r")
+    )
+    return l.join(r, F.col("l.seg").eqNullSafe(F.col("r.seg"))).select(
+        F.coalesce(F.col("l.seg"), F.lit("<null>")).alias("segment"),
+        "n_cust",
+        "sum_bal",
+    )
+
+
+@query(
+    "f9_levenshtein_match",
+    oracle="""
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+FROM supplier a
+JOIN supplier b
+  ON right(a.s_name, 1) = right(b.s_name, 1)
+ AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+)
+def f9_levenshtein_match(spark, sf_dir):
+    """F9 fuzzy entity matching: blocked Levenshtein self-join on supplier
+    names.  The blocking key (last name char) turns an all-pairs O(n^2)
+    comparison into an equi-join with ~n/100-sized buckets — the standard
+    record-linkage shape; at 100 TB the block key would be a phonetic or
+    n-gram key but the plan is identical.  ``levenshtein`` is a JVM built-in
+    (codegen), evaluated only on in-block pairs."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.expr("right(s_name, 1)").alias("blk")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+            F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "a7_cube_summary",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def a7_cube_summary(spark, sf_dir):
+    """A7 CUBE grouping sets (completes the ROLLUP/pivot family from a5/a6):
+    all 4 grouping combinations of (status, priority) in ONE scan — Spark
+    expands the cube map-side, so the input is read once and each partial
+    aggregate combines before the single shuffle.  Grouping-key NULLs are
+    sentinel-coalesced identically on both sides (the columns are non-null
+    in the data, so 'ALL' is unambiguous)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
