@@ -1688,3 +1688,36 @@ def a7_cube_summary(spark, sf_dir):
             "total_price",
         )
     )
+
+
+@query(
+    "x5_view_click_attribution",
+    oracle="""
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view'
+ AND c.event_type = 'click'
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '30 minutes'
+""",
+)
+def x5_view_click_attribution(spark, sf_dir):
+    """X5 interval join (batch twin of the stream-stream attribution join,
+    streaming/events_stream.view_click_interval_join): clicks matched to
+    same-user views within 30 minutes.  Plans as ONE user_id shuffle shared
+    by both sides plus a range predicate evaluated post-join — the
+    watermarked streaming form holds the identical shape with bounded state.
+    tests/test_streaming.py asserts the availableNow replay of the streaming
+    join equals this query row-for-row."""
+    from .streaming.events_stream import view_click_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    return view_click_interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+    )

@@ -256,3 +256,47 @@ def foreach_batch_dedup_sink(df: DataFrame, path: str, checkpoint: str, key_cols
         .trigger(availableNow=True)
         .start()
     )
+
+
+def view_click_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to the prior views
+    by the same user within ``max_gap`` (classic attribution / funnel
+    stitching).
+
+    Both inputs are event streams; Spark buffers each side in state keyed by
+    user_id and the watermarks + the two-sided time-range predicate bound
+    how long rows are retained — without BOTH bounds the state grows
+    forever, which is the canonical stream-stream join failure mode at
+    100 TB.  Inner-join matches emit as soon as both rows arrive (append
+    mode).  The same function applied to two batch DataFrames yields the
+    batch twin (registry_ext.x5_view_click_attribution shares this shape)."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    joined = v.join(
+        c,
+        F.expr(
+            f"""view_user = click_user
+                AND click_ts >= view_ts
+                AND click_ts <= view_ts + INTERVAL {max_gap}"""
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        F.col("view_user").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )

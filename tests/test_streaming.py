@@ -192,3 +192,28 @@ def test_foreach_batch_sink_idempotent_layout(spark, sf_dir):
         assert out.select("event_id").distinct().count() == n_events
         per_batch = out.groupBy("batch_id", "event_id").count()
         assert per_batch.filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (view->click attribution): the
+    availableNow replay must emit exactly the batch twin's rows — inner
+    interval joins emit eagerly on match, so no watermark-horizon filtering
+    is needed on the batch side."""
+    s = es.read_events_stream(spark, sf_dir)
+    joined = es.view_click_interval_join(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "click"),
+    )
+    es.run_to_memory(joined, "t_ssjoin")
+    got = {
+        (r.view_id, r.click_id): (r.user_id, r.gap_us)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    from etl_for_ecol_fusion_database_spark import registry
+
+    expected = {
+        (r.view_id, r.click_id): (r.user_id, r.gap_us)
+        for r in registry.QUERIES["x5_view_click_attribution"](spark, sf_dir).collect()
+    }
+    assert expected, "batch twin produced no rows (vacuous)"
+    assert got == expected
