@@ -65,6 +65,13 @@ HEADLINE = [
     "x6_pack_shards",
     "x3_tfidf_top_terms",
     "x8_kmeans_clusters",
+    # round 2 late additions: gap fill, interval join, grouped-UDAF median,
+    # CUBE, fuzzy matching
+    "x5_gap_fill_hourly",
+    "x5_view_click_attribution",
+    "x3_grouped_median",
+    "a7_cube_summary",
+    "f9_levenshtein_match",
 ]
 
 

@@ -200,3 +200,41 @@ def test_subquery_queries_scan_facts_once(spark, sf_dir):
         plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().simpleString()
         scans = plan.count("lineitem.parquet") + plan.count("orders.parquet")
         assert scans == n, f"{name}: {scans} fact scans (want {n})"
+
+
+def test_gap_fill_shuffle_budget(spark, sf_dir):
+    """Gap fill: hourly agg + spine join + fill window all key on user_id —
+    the plan must stay within a small fixed shuffle budget (the per-user
+    bounds side is tiny and broadcast/AQE-coalesced), and the user_id
+    filter must reach the events scan."""
+    plan = _final_plan(registry.QUERIES["x5_gap_fill_hourly"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*LessThan\(user_id,20\)", plan), plan[:2000]
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles <= 4, f"gap-fill plan shuffles too much: {n_shuffles}"
+
+
+def test_interval_join_single_key_shuffle(spark, sf_dir):
+    """The batch interval join shuffles both event sides on user_id only
+    (the range predicate evaluates post-join, not as a cartesian)."""
+    plan = _final_plan(registry.QUERIES["x5_view_click_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,view\)", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,click\)", plan)
+
+
+def test_levenshtein_block_join_not_cartesian(spark, sf_dir):
+    """Fuzzy matching must plan as an equi-join on the block key — the
+    levenshtein predicate is a post-join filter, never a nested loop over
+    all pairs."""
+    plan = _final_plan(registry.QUERIES["f9_levenshtein_match"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cube_single_scan_single_shuffle(spark, sf_dir):
+    """CUBE expands grouping sets map-side: one scan of orders, partial
+    aggregation below the single exchange."""
+    plan = _final_plan(registry.QUERIES["a7_cube_summary"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # grouping-set expansion operator
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles <= 1, f"cube should need one shuffle, got {n_shuffles}"
