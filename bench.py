@@ -72,6 +72,7 @@ HEADLINE = [
     "x3_grouped_median",
     "a7_cube_summary",
     "f9_levenshtein_match",
+    "x10_cdc_merge",
 ]
 
 

@@ -1,0 +1,50 @@
+"""CDC merge-apply: MERGE INTO semantics as one distributed join pass.
+
+The reference's ETL reloads targets wholesale (truncate-and-load,
+``ingest_ecollision_oracle_data.py``); a 100 TB deployment instead applies
+a change feed incrementally.  ``merge_apply`` expresses the full MERGE
+surface — WHEN MATCHED UPDATE, WHEN MATCHED DELETE, WHEN NOT MATCHED
+INSERT — as a single full-outer join:
+
+- one shuffle on the merge key for each side (AQE broadcasts the change
+  side when a micro-batch is small, which is the common case);
+- per-column ``coalesce(change, base)`` implements partial-row updates
+  (a change row carries NULL for columns it does not touch);
+- the op-code filter drops deleted keys.
+
+The streaming twin is ``streaming.events_stream.foreach_batch_dedup_sink``:
+the same callback shape issues this merge per micro-batch against a keyed
+sink.  Registry entry ``x10_cdc_merge`` pins the semantics against a
+DuckDB full-join oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change set to ``base``.
+
+    ``changes`` must carry every ``base`` column (NULL where untouched)
+    plus ``op_col`` ('U' update, 'I' insert, ``delete_op`` delete).  Rows
+    of ``base`` with no change survive unchanged; matched non-delete
+    changes override column-wise; insert rows (no base match) pass
+    through; matched deletes are dropped.
+    """
+    b, c = base.alias("b"), changes.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != delete_op)
+    return joined.filter(keep).select(
+        *[
+            F.coalesce(F.col(f"c.{col}"), F.col(f"b.{col}")).alias(col)
+            for col in base.columns
+        ]
+    )

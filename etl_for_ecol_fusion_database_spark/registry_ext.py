@@ -1721,3 +1721,81 @@ def x5_view_click_attribution(spark, sf_dir):
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "click"),
     )
+
+
+@query(
+    "x10_cdc_merge",
+    oracle="""
+WITH ch AS (
+    SELECT o_custkey AS k, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+),
+latest AS (SELECT k, o_totalprice FROM ch WHERE rn = 1),
+upd AS (
+    SELECT k AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(o_totalprice AS DECIMAL(38,6)) AS c_acctbal,
+           CASE WHEN k % 97 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM latest
+),
+ins AS (
+    SELECT -k AS c_custkey,
+           'Customer#new' || CAST(k AS VARCHAR) AS c_name,
+           CAST(o_totalprice AS DECIMAL(38,6)) AS c_acctbal,
+           'I' AS op
+    FROM latest WHERE k % 89 = 0
+),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+m AS (
+    SELECT COALESCE(g.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(g.c_name, b.c_name) AS c_name,
+           COALESCE(g.c_acctbal, CAST(b.c_acctbal AS DECIMAL(38,6))) AS bal,
+           g.op
+    FROM customer b FULL JOIN chg g ON b.c_custkey = g.c_custkey
+)
+SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS balance
+FROM m
+WHERE op IS NULL OR op <> 'D'
+""",
+)
+def x10_cdc_merge(spark, sf_dir):
+    """X10 CDC merge-apply (operators/cdc.py): a deterministic change feed
+    derived from each customer's latest order — balance updates for all,
+    deletes for custkey % 97 == 0, synthetic inserts (negated key) for
+    custkey % 89 == 0 — applied to the customer base table with full MERGE
+    semantics in ONE full-outer join.  Update rows carry NULL c_name to
+    exercise the partial-row column-wise coalesce path."""
+    from .operators.cdc import merge_apply
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(38,6)").alias("c_acctbal")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("k"), "o_totalprice")
+    )
+    upd = latest.select(
+        F.col("k").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("c_acctbal"),
+        F.when(F.col("k") % 97 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    ins = latest.filter(F.col("k") % 89 == 0).select(
+        (-F.col("k")).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("k").cast("string")).alias("c_name"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("c_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    merged = merge_apply(base, upd.unionByName(ins), key="c_custkey")
+    return merged.select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("balance")
+    )
