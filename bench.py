@@ -73,6 +73,7 @@ HEADLINE = [
     "a7_cube_summary",
     "f9_levenshtein_match",
     "x10_cdc_merge",
+    "x3_ngram_lm_score",
 ]
 
 

@@ -1799,3 +1799,63 @@ def x10_cdc_merge(spark, sf_dir):
     return merged.select(
         "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("balance")
     )
+
+
+@query(
+    "x3_ngram_lm_score",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+idx AS (
+    SELECT doc_id, lang, s, unnest(generate_series(1, length(s) - 2)) AS i
+    FROM t WHERE length(s) >= 3
+),
+tri AS (SELECT doc_id, lang, substr(s, i, 3) AS g FROM idx),
+model AS (SELECT g, COUNT(*) AS c FROM tri WHERE lang = 'en' GROUP BY g),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM model),
+j AS (
+    SELECT tri.doc_id, CAST(COALESCE(model.c, 0.5) AS DOUBLE) AS c, tot.tot
+    FROM tri LEFT JOIN model USING (g) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       round(AVG(ln(c / tot)), 6) AS lm_score
+FROM j GROUP BY doc_id
+""",
+)
+def x3_ngram_lm_score(spark, sf_dir):
+    """X3 n-gram language-model quality score (perplexity-style fluency
+    filter): a char-trigram unigram LM is trained on the in-corpus English
+    slice, then every document is scored by its mean trigram
+    log-probability (unseen trigrams floored at count 0.5).  Scale shape:
+    the model is a bounded-vocabulary aggregate (<= charset^3 rows) that
+    BROADCASTS to the scoring join, trigram expansion is a map-side
+    ``transform(sequence(...))`` (one pass, no per-row Python), and the
+    only data-sized shuffles are the model groupBy and the per-doc score
+    groupBy.  Scores rounded to 6 dp on both sides: libm vs JVM ``ln`` and
+    summation order differ below 1e-12, far inside the rounding guard."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower("text").alias("s")
+    )
+    tri = t.filter(F.length("s") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("g"),
+    )
+    model = tri.filter(F.col("lang") == "en").groupBy("g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = model.agg(F.sum("c").cast("double").alias("tot"))
+    return (
+        tri.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.avg(F.log(F.coalesce(F.col("c"), F.lit(0.5)).cast("double") / F.col("tot"))),
+                6,
+            ).alias("lm_score"),
+        )
+    )
