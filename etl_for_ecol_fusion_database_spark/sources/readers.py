@@ -107,6 +107,14 @@ def read_csv(
     return r.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """[ext] ORC reader — the other columnar interchange format warehouses
+    export.  Same engine path as parquet (vectorized scan, predicate
+    pushdown, column pruning via Spark's native OrcFileFormat); schema
+    travels in the footer so no explicit schema is needed."""
+    return spark.read.orc(path)
+
+
 def oracle_source(host: str, port: int, service: str, user: str, password: str) -> JdbcSource:
     """eCollision Oracle-shaped source (reference env vars at
     ingest_ecollision_oracle_data.py:54-67)."""

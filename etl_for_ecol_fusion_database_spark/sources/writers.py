@@ -134,6 +134,22 @@ def write_jsonl(
     w.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """[ext] ORC sink (native columnar, footer-embedded schema, stripe-level
+    statistics for downstream predicate pushdown)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     sink: JdbcSource,

@@ -226,3 +226,22 @@ def test_fusion_write_overwrite_vs_append(spark, sf_dir):
         assert spark.read.parquet(f"{d}/t").count() == df.count()  # S11 truncate
         fusion_etl.write_fusion_table(df, f"{d}/t", drop_existing=False)
         assert spark.read.parquet(f"{d}/t").count() == 2 * df.count()  # S14 append
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves schema + values, and the ORC scan accepts
+    pushed filters (native vectorized OrcFileFormat, same engine posture
+    as parquet)."""
+    from etl_for_ecol_fusion_database_spark.sources.readers import read_orc
+    from etl_for_ecol_fusion_database_spark.sources.writers import write_orc
+
+    src = catalog.load_table(spark, sf_dir, "nation")
+    write_orc(src, str(tmp_path / "nation_orc"))
+    back = read_orc(spark, str(tmp_path / "nation_orc"))
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("n_nationkey") < 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)" in plan
