@@ -166,3 +166,63 @@ def sample_frames(df: DataFrame, *, n_frames: int = 4, frame_bytes: int = 64) ->
     return df.select("doc_id", "media_bytes").mapInPandas(
         sample_frames_batch(n_frames, frame_bytes), schema=FRAME_SCHEMA
     )
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("start_byte", T.LongType(), False),
+        T.StructField("end_byte", T.LongType(), False),
+        T.StructField("energy", T.DoubleType(), False),
+    ]
+)
+
+
+def chunk_audio_batch(chunk_bytes: int = 256, hop_bytes: int = 192):
+    """Build an Arrow-batched audio chunker: treat the media BLOB as a PCM
+    byte stream and emit overlapping ``chunk_bytes`` windows every
+    ``hop_bytes`` (hop < chunk = the standard 25ms/10ms audio framing; real
+    impl: codec decode then sample windows — identical fan-out shape).
+    Per-chunk 'energy' is a deterministic mean-byte proxy (rounded scalar,
+    driver-canonicalizable)."""
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "start_byte": [],
+                "end_byte": [],
+                "energy": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media_bytes"]):
+                buf = buf or b""
+                n = len(buf)
+                start, idx = 0, 0
+                while start < n:
+                    w = buf[start : start + chunk_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(idx)
+                    rows["start_byte"].append(start)
+                    rows["end_byte"].append(start + len(w))
+                    rows["energy"].append(round(sum(w) / (255.0 * len(w)), 6))
+                    start += hop_bytes
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return _chunk
+
+
+def chunk_audio(
+    df: DataFrame, *, chunk_bytes: int = 256, hop_bytes: int = 192
+) -> DataFrame:
+    """Audio chunking over the media table: one row fans out to a
+    variable number of overlapping windows via mapInPandas (audio ->
+    frame-features for a speech training set; sibling of ``sample_frames``
+    which emits a fixed per-row arity).  Fan-out stays inside the Arrow
+    batch — no shuffle; chunk boundaries are a pure function of byte
+    length, so the op is deterministic and replay-safe."""
+    return df.select("doc_id", "media_bytes").mapInPandas(
+        chunk_audio_batch(chunk_bytes, hop_bytes), schema=AUDIO_CHUNK_SCHEMA
+    )

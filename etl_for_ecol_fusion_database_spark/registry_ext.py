@@ -1859,3 +1859,20 @@ def x3_ngram_lm_score(spark, sf_dir):
             ).alias("lm_score"),
         )
     )
+
+
+@query("x4_audio_chunks")  # mapInPandas variable fan-out -> rows-only driver check
+def x4_audio_chunks(spark, sf_dir):
+    """X4 audio chunking: overlapping 256B windows every 192B over each
+    media payload (operators/multimodal.chunk_audio) — the audio framing
+    twin of x4_frame_sample's fixed-arity video sampler.  Variable fan-out
+    per row, all inside the Arrow batch.  tests/test_curation_ops.py pins
+    full-coverage, overlap arithmetic, and determinism."""
+    from .operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        multimodal.chunk_audio(media)
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -306,3 +306,40 @@ def test_pack_shards_random_sizes_match_naive(spark):
         for i, sz in zip(ids, sizes):
             assert got[i] == cum // budget, f"trial {trial} id {i}"
             cum += sz
+
+
+def test_audio_chunks_cover_and_overlap(spark, sf_dir):
+    """Audio chunking: chunks tile each payload with the configured hop,
+    every byte is covered, consecutive chunks overlap by chunk-hop, and
+    the op is deterministic across runs."""
+    from etl_for_ecol_fusion_database_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") < 30)
+    sizes = {
+        r.doc_id: r.media_meta.n_bytes
+        for r in media.select("doc_id", "media_meta").collect()
+    }
+    a = multimodal.chunk_audio(media, chunk_bytes=256, hop_bytes=192).collect()
+    b = multimodal.chunk_audio(media, chunk_bytes=256, hop_bytes=192).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    by_doc = {}
+    for r in a:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in sizes.items() if n > 0}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = sizes[doc_id]
+        for k, r in enumerate(chunks):
+            assert r.chunk_idx == k
+            assert r.start_byte == k * 192
+            assert r.end_byte == min(r.start_byte + 256, n)
+            assert 0.0 <= r.energy <= 1.0
+        # full coverage: next chunk starts before the previous ends
+        # (hop < chunk) and the final chunk reaches the last byte
+        assert chunks[-1].end_byte == n
+        assert all(
+            nxt.start_byte < cur.end_byte for cur, nxt in zip(chunks, chunks[1:])
+        )
