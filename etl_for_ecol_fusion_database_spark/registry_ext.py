@@ -1876,3 +1876,37 @@ def x4_audio_chunks(spark, sf_dir):
         .filter(F.col("doc_id") < 200)
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "j8_lateral_topk",
+    oracle="""
+SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+FROM nation n, LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+""",
+)
+def j8_lateral_topk(spark, sf_dir):
+    """J8 correlated LATERAL join (dependent join): top-3 customers per
+    nation expressed as a per-row correlated subquery with ORDER BY +
+    LIMIT.  Catalyst decorrelates this into a ranked window over ONE
+    customer shuffle (no per-nation re-execution) — demonstrating the SQL
+    surface accepts dependent joins and plans them scalably; values pass
+    through unmodified, so no canon casting beyond the explicit DOUBLE."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir, tables=("nation", "customer"))
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+FROM nation n
+JOIN LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+"""
+    )
