@@ -1,1 +1,14 @@
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    cdc,
+    clustering,
+    dedup,
+    graph,
+    history,
+    joins,
+    multimodal,
+    sampling,
+    similarity,
+    skew,
+    text,
+    vectorized,
+)
