@@ -74,6 +74,13 @@ HEADLINE = [
     "f9_levenshtein_match",
     "x10_cdc_merge",
     "x3_ngram_lm_score",
+    # round 2 final additions: funnel/retention analytics, RAG chunking,
+    # quantized ANN, point-in-time join
+    "x5_funnel_steps",
+    "x5_retention_cohorts",
+    "x3_doc_chunks",
+    "x2_quantized_topk",
+    "j9_point_in_time",
 ]
 
 

@@ -77,3 +77,38 @@ def asof_join_backward(
     return merged.filter(F.col("_side") == probe_side).select(
         *lcols, *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload]
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str,
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal interval) join: each fact row picks up the
+    dimension interval active at its timestamp —
+    ``fact.ts >= valid_from AND (fact.ts < valid_to OR valid_to IS NULL)``.
+
+    This is the lookup side of SCD2 (operators/history.scd2_intervals):
+    history tables answer "what was the attribute AS OF this event".
+
+    Plan shape: an equi-join on the entity key with the interval predicate
+    evaluated post-join — ONE hash shuffle on ``on`` for both sides.
+    Because SCD2 intervals are non-overlapping per key, each fact matches
+    at most one interval, so the join never amplifies rows.  At 100 TB the
+    key shuffle dominates and co-bucketing both tables on ``on``
+    (sources/writers.write_bucketed) removes it entirely.
+    """
+    iv = intervals.select(
+        F.col(on).alias("_k"),
+        *[c for c in intervals.columns if c != on],
+    )
+    cond = (
+        (facts[on] == iv["_k"])
+        & (facts[fact_time] >= iv[valid_from])
+        & (iv[valid_to].isNull() | (facts[fact_time] < iv[valid_to]))
+    )
+    return facts.join(iv, cond, "left").drop("_k")

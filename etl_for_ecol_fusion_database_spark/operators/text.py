@@ -360,3 +360,45 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    chunk_size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """RAG-style document chunking: overlapping fixed-width character
+    windows (``chunk_size`` chars every ``stride`` chars, so consecutive
+    chunks overlap by ``chunk_size - stride``).
+
+    Entirely a narrow transform — ``sequence`` generates the chunk start
+    offsets per row and ``explode`` fans them out, so there is NO shuffle
+    and no Python: at 100 TB this pipelines through whole-stage codegen at
+    scan speed, and the ~chunk_size/stride output amplification streams
+    straight to the sink without ever materializing a document's chunk
+    list.
+
+    Emits ``(doc_id, chunk_idx, chunk_start, chunk_len, n_tokens,
+    chunk_md5)`` — the chunk text itself is carried as an md5 so
+    downstream exact-dedup of chunks (the common next step) joins on a
+    16-byte key instead of a 200-char string.
+    """
+    starts = F.expr(
+        f"sequence(1, greatest(length({text_col}), 1), {stride})"
+    )
+    chunk = F.expr(f"substring({text_col}, chunk_start, {chunk_size})")
+    return (
+        df.select("doc_id", text_col)
+        .filter(F.col(text_col).isNotNull())
+        .select("doc_id", text_col, F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.size(F.split(F.trim(chunk), r"\s+")).cast("int").alias("n_tokens"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

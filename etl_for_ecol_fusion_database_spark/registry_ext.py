@@ -1910,3 +1910,226 @@ JOIN LATERAL (
 ) t
 """
     )
+
+
+# ===========================================================================
+# round-2 late additions: funnels, retention, chunking, quantized ANN,
+# point-in-time interval join
+# ===========================================================================
+
+
+@query(
+    "x5_funnel_steps",
+    oracle="""
+WITH t1 AS (
+    SELECT user_id, MIN(ts) AS t_1 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e JOIN t1 USING (user_id)
+    WHERE e.event_type = 'view' AND e.ts >= t1.t_1 GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e JOIN t2 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= t2.t_2 GROUP BY e.user_id
+),
+t4 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_4 FROM events e JOIN t3 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= t3.t_3 GROUP BY e.user_id
+),
+c AS (
+    SELECT (SELECT COUNT(*) FROM t1) AS n_1,
+           (SELECT COUNT(*) FROM t2) AS n_2,
+           (SELECT COUNT(*) FROM t3) AS n_3,
+           (SELECT COUNT(*) FROM t4) AS n_4
+)
+SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step, n_1 AS n_users,
+       round(n_1::DOUBLE / n_1::DOUBLE, 6) AS conversion FROM c
+UNION ALL SELECT 2, 'view', n_2, round(n_2::DOUBLE / n_1::DOUBLE, 6) FROM c
+UNION ALL SELECT 3, 'click', n_3, round(n_3::DOUBLE / n_1::DOUBLE, 6) FROM c
+UNION ALL SELECT 4, 'purchase', n_4, round(n_4::DOUBLE / n_1::DOUBLE, 6) FROM c
+""",
+)
+def x5_funnel_steps(spark, sf_dir):
+    """X5 strict-order funnel (operators/funnel.funnel_steps):
+    signup -> view -> click -> purchase, step i+1 counted only at-or-after
+    the user's step-i completion time.  Every per-step aggregation and join
+    hash-partitions on user_id (one reusable exchange); the output is 4
+    rows."""
+    from .operators import funnel
+
+    return funnel.funnel_steps(
+        _t(spark, sf_dir, "events"), ["signup", "view", "click", "purchase"]
+    )
+
+
+@query(
+    "x5_retention_cohorts",
+    oracle="""
+WITH acts AS (
+    SELECT user_id, date_trunc('week', ts) AS act_week FROM events
+),
+firsts AS (
+    SELECT user_id, MIN(act_week) AS cohort_week FROM acts GROUP BY user_id
+),
+j AS (
+    SELECT a.user_id, f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT)
+               AS offset_weeks
+    FROM acts a JOIN firsts f USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, offset_weeks,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM j GROUP BY 1, 2
+""",
+)
+def x5_retention_cohorts(spark, sf_dir):
+    """X5 weekly cohort retention triangle
+    (operators/funnel.retention_cohorts): cohort = ISO week of first event,
+    cells count distinct active users per (cohort, offset).  Two shuffles
+    (user_id, then the tiny cohort rollup)."""
+    from .operators import funnel
+
+    return funnel.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "x3_doc_chunks",
+    oracle=r"""
+WITH s AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text), 1), 150))
+               AS chunk_start
+    FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 150 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           substring(text, CAST(chunk_start AS INT), 200) AS chunk
+    FROM s
+)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(length(chunk) AS INT) AS chunk_len,
+       CAST(len(string_split_regex(trim(chunk), '\s+')) AS INT) AS n_tokens,
+       md5(chunk) AS chunk_md5
+FROM c
+""",
+)
+def x3_doc_chunks(spark, sf_dir):
+    """X3 RAG-style overlapping chunking (operators/text.chunk_documents):
+    200-char windows every 150 chars via sequence+posexplode — a pure
+    narrow transform, zero shuffles, chunk text carried as md5."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=200, stride=150
+    )
+
+
+@query(
+    "x2_quantized_topk",
+    oracle="""
+WITH qv AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+quant AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> floor(x * (CASE WHEN m > 0 THEN 127.0 / m
+                                       ELSE 0.0 END) + 0.5)) AS q
+    FROM (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS m FROM qv) t
+),
+base AS (
+    SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS norm FROM quant
+),
+scored AS (
+    SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+           round(list_dot_product(a.q, b.q) / (a.norm * b.norm), 6) AS q_cosine
+    FROM base a JOIN base b ON a.vec_id != b.vec_id
+    WHERE a.vec_id < 20
+),
+ranked AS (
+    SELECT q_id, cand_id, q_cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY q_cosine DESC, cand_id ASC) AS INT)
+               AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, q_cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def x2_quantized_topk(spark, sf_dir):
+    """X2 int8-quantized cosine top-k (operators/similarity.quantized_topk):
+    per-vector symmetric quantization, exact small-integer dot products —
+    the 4x-memory-reduction ANN variant, and the only approximate-storage
+    path portable enough to carry a full DuckDB oracle."""
+    return similarity.quantized_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=20
+    )
+
+
+@query(
+    "j9_point_in_time",
+    oracle="""
+WITH log AS (
+    SELECT user_id, ts, event_type, event_id FROM events
+    WHERE event_type IN ('view', 'click')
+),
+chg AS (
+    SELECT user_id, ts, event_type, event_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM log
+),
+iv0 AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id
+    FROM chg WHERE prev IS NULL OR event_type != prev
+),
+iv AS (
+    SELECT user_id, event_type AS state, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM iv0
+),
+facts AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       iv.state AS state_at_purchase,
+       strftime(iv.valid_from, '%Y-%m-%d %H:%M:%S.%f') AS state_since
+FROM facts f
+LEFT JOIN iv ON f.user_id = iv.user_id
+            AND f.ts >= iv.valid_from
+            AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+""",
+)
+def j9_point_in_time(spark, sf_dir):
+    """J9 point-in-time interval join (operators/joins.point_in_time_join
+    over operators/history.scd2_intervals): each purchase picks up the
+    user's browsing state (last view/click run) active at purchase time.
+    One user_id shuffle shared by the SCD2 derivation and the join; SCD2
+    intervals are disjoint per key so the join never amplifies."""
+    from .operators import history, joins
+
+    e = _t(spark, sf_dir, "events")
+    iv = history.scd2_intervals(
+        e.filter(F.col("event_type").isin("view", "click")),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    ).drop("is_current")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = joins.point_in_time_join(
+        facts, iv, on="user_id", fact_time="ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("event_type").alias("state_at_purchase"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("state_since"),
+    )

@@ -1,0 +1,165 @@
+"""Property tests for the late round-2 analytics operators: funnels,
+retention cohorts, document chunking, quantized ANN, point-in-time joins
+(semantic invariants beyond the DuckDB parity gate)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+from etl_for_ecol_fusion_database_spark.operators import (
+    funnel,
+    history,
+    joins,
+    similarity,
+    text,
+)
+
+
+def _ev(uid, t, typ, eid):
+    return Row(
+        user_id=uid,
+        ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=t),
+        event_type=typ,
+        event_id=eid,
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    """A user whose click precedes their first view must NOT count as
+    converted through view->click — the strict-order property that
+    distinguishes a funnel from independent per-type mins."""
+    rows = [
+        # u1 completes the whole funnel in order
+        _ev(1, 0, "signup", 1), _ev(1, 10, "view", 2), _ev(1, 20, "click", 3),
+        # u2 clicked BEFORE viewing: reaches view, not click
+        _ev(2, 0, "signup", 4), _ev(2, 5, "click", 5), _ev(2, 10, "view", 6),
+        # u3 never signed up: in no step
+        _ev(3, 0, "view", 7), _ev(3, 1, "click", 8),
+    ]
+    out = funnel.funnel_steps(
+        spark.createDataFrame(rows), ["signup", "view", "click"]
+    )
+    got = {r["step"]: r["n_users"] for r in out.collect()}
+    assert got == {"signup": 2, "view": 2, "click": 1}
+
+
+def test_funnel_monotone_and_conversion_bounds(spark, sf_dir):
+    out = funnel.funnel_steps(
+        load_table(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+    ).orderBy("step_idx").collect()
+    counts = [r["n_users"] for r in out]
+    assert counts == sorted(counts, reverse=True)  # funnel never widens
+    assert out[0]["conversion"] == 1.0
+    assert all(0.0 <= r["conversion"] <= 1.0 for r in out)
+
+
+def test_retention_offset0_equals_cohort_size(spark, sf_dir):
+    """Every user is active in their own cohort week, so the offset-0 cell
+    must equal the cohort's total user count."""
+    events = load_table(spark, sf_dir, "events")
+    tri = funnel.retention_cohorts(events)
+    offset0 = {
+        r["cohort_week"]: r["n_active_users"]
+        for r in tri.filter(F.col("offset_weeks") == 0).collect()
+    }
+    sizes = {
+        r["cohort_week"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("w"))
+        .groupBy(F.date_format("w", "yyyy-MM-dd").alias("cohort_week"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert offset0 == sizes
+
+
+def test_chunk_documents_tiles_exactly(spark, sf_dir):
+    """Chunks at stride == chunk_size partition each document: lengths sum
+    to the document length and starts tile [1, len] without gaps."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_size=100, stride=100)
+    recon = chunks.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("total"),
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_start").alias("last_start"),
+    )
+    joined = recon.join(docs.select("doc_id", F.length("text").alias("len")), "doc_id")
+    bad = joined.filter(
+        (F.col("total") != F.col("len"))
+        | (F.col("last_start") != (F.col("n_chunks") - 1) * 100 + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_chunk_documents_overlap_consistency(spark, sf_dir):
+    """With stride < chunk_size every chunk is exactly
+    min(chunk_size, doc_len - start + 1) chars and starts advance by the
+    stride — i.e. windows overlap by chunk_size - stride until the text
+    runs out."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_size=200, stride=150)
+    j = chunks.join(docs.select("doc_id", F.length("text").alias("len")), "doc_id")
+    bad_len = j.filter(
+        F.col("chunk_len")
+        != F.least(F.lit(200), F.col("len") - F.col("chunk_start") + 1)
+    )
+    assert bad_len.count() == 0
+    assert (
+        chunks.filter(F.col("chunk_start") != F.col("chunk_idx") * 150 + 1).count()
+        == 0
+    )
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization is lossy but must stay close to exact cosine:
+    per-query top-5 recall >= 0.8 on the benchmark embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, k=5, n_queries=20)
+    quant = similarity.quantized_topk(emb, k=5, n_queries=20)
+    hits = exact.select("q_id", "cand_id").intersect(
+        quant.select("q_id", "cand_id")
+    )
+    assert hits.count() >= 0.8 * exact.count()
+
+
+def test_quantize_vec_codes_in_int8_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(similarity.quantize_vec("embedding").alias("q"))
+    out_of_range = codes.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("m")
+    ).filter(F.col("m") > 127)
+    assert out_of_range.count() == 0
+
+
+def test_point_in_time_join_unique_and_correct(spark):
+    """Each fact matches exactly the interval covering its ts; facts before
+    any interval get NULLs (left join), and SCD2 disjointness means no
+    fact row is ever duplicated."""
+    log = spark.createDataFrame(
+        [
+            _ev(1, 0, "view", 1),
+            _ev(1, 10, "click", 2),
+            _ev(1, 20, "view", 3),
+        ]
+    )
+    iv = history.scd2_intervals(log, "user_id", "ts", "event_type", tiebreak="event_id")
+    facts = spark.createDataFrame(
+        [
+            Row(f_id=1, user_id=1, ts=datetime.datetime(2024, 1, 1, 0, 5)),   # in view[0,10)
+            Row(f_id=2, user_id=1, ts=datetime.datetime(2024, 1, 1, 0, 15)),  # in click[10,20)
+            Row(f_id=3, user_id=1, ts=datetime.datetime(2024, 1, 1, 0, 25)),  # in view[20,)
+            Row(f_id=4, user_id=1, ts=datetime.datetime(2023, 12, 31)),       # before any
+            Row(f_id=5, user_id=99, ts=datetime.datetime(2024, 1, 1)),        # unknown key
+        ]
+    )
+    out = joins.point_in_time_join(
+        facts, iv.drop("is_current"), on="user_id", fact_time="ts"
+    )
+    assert out.count() == facts.count()  # disjoint intervals: no fan-out
+    got = {r["f_id"]: r["event_type"] for r in out.collect()}
+    assert got == {1: "view", 2: "click", 3: "view", 4: None, 5: None}

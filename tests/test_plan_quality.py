@@ -238,3 +238,43 @@ def test_cube_single_scan_single_shuffle(spark, sf_dir):
     assert "Expand" in plan  # grouping-set expansion operator
     n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n_shuffles <= 1, f"cube should need one shuffle, got {n_shuffles}"
+
+
+def test_doc_chunks_zero_shuffle(spark, sf_dir):
+    """Chunking must stay a pure narrow transform: one pruned scan, a
+    Generate (posexplode), and NO exchange — at 100 TB it runs at scan
+    speed with no shuffle barrier."""
+    plan = _final_plan(registry.QUERIES["x3_doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Generate posexplode" in plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan)
+
+
+def test_funnel_pushes_step_filters(spark, sf_dir):
+    """Every per-step scan must push its event_type equality into the
+    parquet reader, and all data shuffles hash on user_id (the single
+    funnel key) — no global repartition sneaks in."""
+    plan = _final_plan(registry.QUERIES["x5_funnel_steps"](spark, sf_dir))
+    for step in ("signup", "view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in plan, step
+    parts = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert parts and all(p == "user_id" for p in parts), parts
+
+
+def test_point_in_time_single_key_shuffle(spark, sf_dir):
+    """The SCD2 derivation and the interval join share ONE user_id hash
+    partitioning; the fact-side event_type filter reaches the scan."""
+    plan = _final_plan(registry.QUERIES["j9_point_in_time"](spark, sf_dir))
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "In(event_type, [click,view])" in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 1, f"expected the one SCD2 user_id shuffle, got {n}\n{plan}"
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir):
+    """The bounded query side must broadcast (corpus never shuffles for
+    scoring); ranking shuffles once on q_id."""
+    plan = _final_plan(registry.QUERIES["x2_quantized_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 1, plan
