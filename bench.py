@@ -81,6 +81,11 @@ HEADLINE = [
     "x3_doc_chunks",
     "x2_quantized_topk",
     "j9_point_in_time",
+    "a8_mad_anomaly",
+    "x3_quality_threshold_filter",
+    "x1_chunk_dedup",
+    "x11_incremental_rollup",
+    "a9_grouping_sets",
 ]
 
 

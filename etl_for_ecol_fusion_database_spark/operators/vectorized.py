@@ -67,3 +67,43 @@ def cosine_scores_pandas(
             6,
         ),
     )
+
+
+def sentence_split_udtf():
+    """Python UDTF (SURVEY.md §2.10 — the table-function corner of the UDF
+    surface): lazily builds and returns a ``udtf``-decorated class that
+    explodes a document into ``(sentence_idx, sentence)`` rows.
+
+    Deliberately mirrors the built-in fast path
+    ``posexplode(split(text, sentence_regex))`` — tests assert the two
+    agree, which is the pattern for validating any future UDTF whose logic
+    CAN'T be expressed with built-ins.  Like every row-at-a-time Python
+    path, this is the slow lane: use it for API parity and genuinely
+    imperative logic, never in the 100 TB hot path.
+    """
+    if "sentence_udtf" not in _UDF_CACHE:
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="sentence_idx: int, sentence: string")
+        class SentenceSplit:
+            def eval(self, text: str):  # noqa: D102 — UDTF contract
+                if text is None:
+                    return
+                import re
+
+                for i, s in enumerate(re.split(r"(?<=[.!?])\s+", text)):
+                    if s:
+                        yield i, s
+
+        _UDF_CACHE["sentence_udtf"] = SentenceSplit
+    return _UDF_CACHE["sentence_udtf"]
+
+
+def sentences_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The JVM twin of ``sentence_split_udtf``: posexplode over a regexp
+    split — whole-stage codegen, zero Python."""
+    parts = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    return (
+        df.select("doc_id", F.posexplode(parts).alias("sentence_idx", "sentence"))
+        .filter(F.col("sentence") != "")
+    )

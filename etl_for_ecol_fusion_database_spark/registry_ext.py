@@ -2133,3 +2133,234 @@ def j9_point_in_time(spark, sf_dir):
         F.col("event_type").alias("state_at_purchase"),
         F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("state_since"),
     )
+
+
+@query(
+    "a8_mad_anomaly",
+    oracle="""
+WITH med AS (
+    SELECT event_type, median(value) AS m FROM events GROUP BY 1
+),
+d AS (
+    SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS absdev
+    FROM events e JOIN med USING (event_type)
+),
+md AS (
+    SELECT event_type, median(absdev) AS md FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       round(MIN(d.m), 6) AS med,
+       round(MIN(md.md), 6) AS mad,
+       CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * md.md THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_total
+FROM d JOIN md USING (event_type)
+GROUP BY 1
+""",
+)
+def a8_mad_anomaly(spark, sf_dir):
+    """A8 robust median/MAD outlier summary per event type
+    (operators/anomaly.mad_outlier_summary): exact interpolated medians
+    (same definition as DuckDB quantile_cont), broadcast joins on the tiny
+    group key, three columnar passes and no large-key shuffle."""
+    from .operators import anomaly
+
+    return anomaly.mad_outlier_summary(_t(spark, sf_dir, "events"))
+
+
+_QUALITY_SCORE_SQL = r"""
+    SELECT doc_id,
+           round(0.4 * (len(list_filter(toks, x -> list_contains({stop}, x)))::DOUBLE
+                        / len(toks)::DOUBLE)
+                 + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+                 + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents
+    ) t
+"""
+
+
+@query(
+    "x3_quality_threshold_filter",
+    oracle=f"""
+WITH scored AS ({_QUALITY_SCORE_SQL.format(stop="{stop}")}),
+thr AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM scored)
+SELECT s.doc_id, s.quality_score, round(thr.thr, 6) AS threshold
+FROM scored s CROSS JOIN thr
+WHERE s.quality_score >= thr.thr
+""".format(stop=_STOP_LIST),
+)
+def x3_quality_threshold_filter(spark, sf_dir):
+    """X3 percentile-threshold quality filtering: drop the bottom quartile
+    by exact 25th-percentile cutoff.  The scalable form — ONE scalar
+    aggregate broadcast into a filter — not a global percent_rank sort
+    (which would need a total order over the corpus at 100 TB)."""
+    scored = text.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    thr = scored.agg(
+        F.percentile("quality_score", F.lit(0.25)).alias("thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select(
+            "doc_id", "quality_score", F.round("thr", 6).alias("threshold")
+        )
+    )
+
+
+@query(
+    "x1_chunk_dedup",
+    oracle=r"""
+WITH s AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text), 1), 200))
+               AS chunk_start
+    FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT doc_id,
+           md5(substring(text, CAST(chunk_start AS INT), 200)) AS chunk_md5
+    FROM s
+)
+SELECT chunk_md5,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_doc
+FROM c
+GROUP BY chunk_md5
+HAVING COUNT(*) > 1
+""",
+)
+def x1_chunk_dedup(spark, sf_dir):
+    """X1 chunk-level exact dedup: disjoint 200-char chunks grouped by md5
+    — the boilerplate/header detector that document-level dedup misses.
+    Composition of chunk_documents (zero-shuffle) + one 16-byte-key
+    groupBy with map-side combine."""
+    chunks = text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=200, stride=200
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "x11_incremental_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value,
+       MIN(CAST(value AS DOUBLE)) AS min_value,
+       MAX(CAST(value AS DOUBLE)) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def x11_incremental_rollup(spark, sf_dir):
+    """X11 incremental aggregation maintenance
+    (operators/incremental.py): the event log is split into two "days"
+    (event_id parity), each day aggregated to an algebraic partial state
+    INDEPENDENTLY, and the states merged — the oracle aggregates the
+    whole table directly, proving merge(state(A), state(B)) ==
+    state(A ∪ B).  Decimal accumulation makes the merge order
+    irrelevant; at 100 TB this is how a rollup absorbs a late batch
+    without re-scanning history."""
+    from .operators import incremental
+
+    e = _t(spark, sf_dir, "events")
+    day1 = incremental.partial_agg_state(
+        e.filter(F.col("event_id") % 2 == 0), ["event_type"], "value"
+    )
+    day2 = incremental.partial_agg_state(
+        e.filter(F.col("event_id") % 2 == 1), ["event_type"], "value"
+    )
+    return incremental.finalize_agg_state(
+        incremental.merge_agg_states(day1, day2)
+    )
+
+
+@query(
+    "a9_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+           AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def a9_grouping_sets(spark, sf_dir):
+    """A9 arbitrary GROUPING SETS (beyond A5 ROLLUP / A7 CUBE): priority
+    margins, status margins and the grand total in one expanded
+    aggregation — one shuffle, no table re-scan per grouping.  SQL-text
+    surface via the registered view."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+           AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+    )
+
+
+@query(
+    "a10_unpivot",
+    oracle="""
+WITH wide AS (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium
+    FROM orders GROUP BY o_year
+)
+SELECT o_year, priority, n_orders
+FROM wide
+UNPIVOT (n_orders FOR priority IN (urgent, high, medium))
+""",
+)
+def a10_unpivot(spark, sf_dir):
+    """A10 unpivot/melt (the inverse of A6's pivot): wide per-priority
+    count columns back to long (year, priority, n) rows via the native
+    ``unpivot`` — a narrow transform (no shuffle beyond the wide table's
+    own aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .na.fill(0, ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .select(
+            "o_year",
+            F.col("1-URGENT").alias("urgent"),
+            F.col("2-HIGH").alias("high"),
+            F.col("3-MEDIUM").alias("medium"),
+        )
+    )
+    return wide.unpivot(
+        ["o_year"], ["urgent", "high", "medium"], "priority", "n_orders"
+    )

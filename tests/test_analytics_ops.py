@@ -163,3 +163,86 @@ def test_point_in_time_join_unique_and_correct(spark):
     assert out.count() == facts.count()  # disjoint intervals: no fan-out
     got = {r["f_id"]: r["event_type"] for r in out.collect()}
     assert got == {1: "view", 2: "click", 3: "view", 4: None, 5: None}
+
+
+def test_mad_outlier_summary_properties(spark, sf_dir):
+    """Outliers are a strict subset; MAD is nonnegative and <= max
+    deviation; totals reconcile with the raw table."""
+    events = load_table(spark, sf_dir, "events")
+    from etl_for_ecol_fusion_database_spark.operators import anomaly
+
+    out = anomaly.mad_outlier_summary(events).collect()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["event_type"] for r in out} == set(totals)
+    for r in out:
+        assert r["n_total"] == totals[r["event_type"]]
+        assert 0 <= r["n_outliers"] < r["n_total"]
+        assert r["mad"] >= 0.0
+
+
+def test_mad_flags_planted_outlier(spark):
+    """A constant series with one wild point: exactly that point flags."""
+    rows = [Row(event_type="t", value=float(v)) for v in [10.0] * 50 + [10.5] * 49 + [1e6]]
+    from etl_for_ecol_fusion_database_spark.operators import anomaly
+
+    out = anomaly.mad_outlier_summary(spark.createDataFrame(rows)).collect()[0]
+    assert out["n_outliers"] == 1 and out["n_total"] == 100
+
+
+def test_quality_threshold_keeps_top_three_quarters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_for_ecol_fusion_database_spark.registry import QUERIES
+
+    kept = QUERIES["x3_quality_threshold_filter"](spark, sf_dir)
+    n, total = kept.count(), docs.count()
+    # >= 75% survive (ties at the cutoff can only ADD rows)
+    assert 0.75 <= n / total <= 0.80
+    thr = kept.select("threshold").first()["threshold"]
+    assert kept.filter(F.col("quality_score") < thr).count() == 0
+
+
+def test_incremental_state_merge_equals_direct(spark, sf_dir):
+    """merge(state(A), state(B), state(C)) == state(A ∪ B ∪ C), any order."""
+    from etl_for_ecol_fusion_database_spark.operators import incremental
+
+    e = load_table(spark, sf_dir, "events")
+    parts = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    states = [
+        incremental.partial_agg_state(p, ["event_type"], "value") for p in parts
+    ]
+    direct = incremental.finalize_agg_state(
+        incremental.partial_agg_state(e, ["event_type"], "value")
+    )
+    merged = incremental.finalize_agg_state(
+        incremental.merge_agg_states(*states)
+    )
+    reordered = incremental.finalize_agg_state(
+        incremental.merge_agg_states(states[2], states[0], states[1])
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    assert reordered.exceptAll(direct).count() == 0
+
+
+def test_incremental_late_batch_absorption(spark, sf_dir):
+    """A late batch merges into an existing state without touching the
+    original rows: counts add up exactly."""
+    from etl_for_ecol_fusion_database_spark.operators import incremental
+
+    e = load_table(spark, sf_dir, "events")
+    base = incremental.partial_agg_state(
+        e.filter(F.col("event_id") % 10 != 0), ["event_type"], "value"
+    )
+    late = incremental.partial_agg_state(
+        e.filter(F.col("event_id") % 10 == 0), ["event_type"], "value"
+    )
+    out = incremental.finalize_agg_state(incremental.merge_agg_states(base, late))
+    got = {r["event_type"]: r["n"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

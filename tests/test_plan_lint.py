@@ -1,0 +1,77 @@
+"""Repo-wide physical-plan lint: every registered query's plan is swept
+for the antipatterns that kill jobs at 100 TB.
+
+Unlike tests/test_plan_quality.py (deep pins on specific showcase
+queries), this is a breadth gate over the WHOLE registry: a newly added
+query that sneaks in a cartesian product, a row-at-a-time Python UDF, or
+an unbounded single-partition window fails here even if nobody wrote it
+a dedicated plan test.
+
+Intentional exceptions are allowlisted *with the reason they are safe*;
+an allowlist entry for a query that stops exhibiting the pattern is
+flagged too, so the list cannot rot.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_for_ecol_fusion_database_spark import registry
+
+# BroadcastNestedLoopJoin is the correct physical op when one side is a
+# bounded broadcast relation and the condition is non-equi.  Each entry
+# documents why the build side stays small AT ANY DATA SCALE.
+BNLJ_OK = {
+    "x2_cosine_topk": "20 broadcast query vectors vs corpus (bounded probe set)",
+    "x2_ivf_ann": "broadcast centroid set (16 rows)",
+    "x2_ivf_full_probe": "broadcast centroid set (16 rows)",
+    "x2_quantized_topk": "20 broadcast query vectors vs corpus",
+    "x1_ngram_jaccard_pairs": "bounded ground-truth oracle (id<200 both sides, documented)",
+    "x1_embedding_near_dup": "bounded ground-truth oracle (id-range capped, documented)",
+    "x3_ngram_lm_score": "1-row corpus-total relation crossed in",
+    "x3_quality_threshold_filter": "1-row percentile-threshold relation crossed in",
+    "q22_sales_opportunity": "1-row AVG scalar subquery crossed in (TPC-H shape)",
+}
+
+# A single-partition exchange feeding a Window is only safe when the
+# windowed relation is provably tiny (post-aggregation scalars or
+# bucket-count-sized).
+GLOBAL_WINDOW_OK = {
+    "x6_pack_shards": "window runs over per-bucket offsets (n_buckets rows)",
+    "x9_curation_pipeline": "composes pack_shards (same bucket-offset window)",
+    "q11_important_value": "window over the post-aggregation partkey sums for ranking (TPC-H scalar-threshold shape)",
+    "q15_top_supplier": "window over per-supplier revenue aggregate (|suppliers| rows, post-agg)",
+    "q17_small_qty_revenue": "per-part avg window over the aggregated part set",
+}
+
+
+def _static_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_scale_antipatterns(spark, sf_dir, name):
+    plan = _static_plan(registry.QUERIES[name](spark, sf_dir))
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # row-at-a-time Python UDFs never belong in a data path (Arrow forms
+    # ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas are fine)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+    has_bnlj = "BroadcastNestedLoopJoin" in plan
+    if has_bnlj:
+        assert name in BNLJ_OK, (
+            f"{name}: BroadcastNestedLoopJoin without a documented bounded "
+            "build side — add to BNLJ_OK with a justification if intended"
+        )
+
+    has_gw = bool(
+        re.search(r"Exchange SinglePartition", plan) and "Window" in plan
+    )
+    if has_gw:
+        assert name in GLOBAL_WINDOW_OK, (
+            f"{name}: single-partition exchange + window — only safe on "
+            "provably-tiny relations; add to GLOBAL_WINDOW_OK with a reason"
+        )

@@ -69,3 +69,39 @@ def test_ivf_every_corpus_vector_assigned_once(spark, sf_dir):
     a = {(r.q_id, r.cand_id, r.rank) for r in full_probe.collect()}
     b = {(r.q_id, r.cand_id, r.rank) for r in exact.collect()}
     assert a == b, f"full-probe IVF != brute force: {a ^ b}"
+
+
+def test_sentence_udtf_matches_builtin(spark, sf_dir):
+    """The Python UDTF and the JVM posexplode twin must produce identical
+    (doc_id, sentence_idx, sentence) rows — the validation pattern for any
+    future imperative UDTF."""
+    from etl_for_ecol_fusion_database_spark.catalog import load_table
+    from etl_for_ecol_fusion_database_spark.operators import vectorized
+
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+        # corpus text is punctuation-free; inject real multi-sentence docs so
+        # the split path is actually exercised
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (1_000_001, "First sentence. Second one! Third? Yes."),
+                    (1_000_002, "No trailing split here"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    fast = vectorized.sentences_builtin(docs)
+    SentenceSplit = vectorized.sentence_split_udtf()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs.createOrReplaceTempView("_udtf_docs")
+    slow = spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 50  # non-vacuous: documents do split
