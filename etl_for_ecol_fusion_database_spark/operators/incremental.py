@@ -73,3 +73,37 @@ def finalize_agg_state(state: DataFrame) -> DataFrame:
         F.col("agg_min").alias("min_value"),
         F.col("agg_max").alias("max_value"),
     )
+
+
+def hll_state(
+    df: DataFrame, keys: Sequence[str], distinct_col: str, *, lg_k: int = 12
+) -> DataFrame:
+    """Sketch analogue of ``partial_agg_state`` for COUNT(DISTINCT):
+    a per-group Datasketches HLL binary.  Unlike exact distinct counts —
+    which do NOT merge (|A ∪ B| ≠ |A| + |B|) — sketches merge losslessly:
+    union_agg over per-batch sketches yields bit-identical estimates to
+    sketching the union directly (asserted in tests), at O(2^lg_k) bytes
+    per group instead of O(distinct)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("hll_sk")
+    )
+
+
+def merge_hll_states(*states: DataFrame) -> DataFrame:
+    if not states:
+        raise ValueError("need at least one state")
+    keys = [c for c in states[0].columns if c != "hll_sk"]
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*keys).agg(
+        F.hll_union_agg("hll_sk").alias("hll_sk")
+    )
+
+
+def finalize_hll_state(state: DataFrame) -> DataFrame:
+    keys = [c for c in state.columns if c != "hll_sk"]
+    return state.select(
+        *keys,
+        F.hll_sketch_estimate("hll_sk").cast("bigint").alias("approx_distinct"),
+    )

@@ -54,6 +54,26 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The quality score as a single reusable column expression — lets
+    streaming pipelines add it with ``withColumn`` (no self-join, which a
+    stream cannot do)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_chars = F.length(text_col)
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    len_norm = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * len_norm,
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring from length / punctuation / stopword ratios.
 

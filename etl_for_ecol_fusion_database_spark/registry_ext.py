@@ -2364,3 +2364,25 @@ def a10_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["o_year"], ["urgent", "high", "medium"], "priority", "n_orders"
     )
+
+
+@query("x11_hll_incremental")  # Datasketches binary -> no DuckDB oracle
+def x11_hll_incremental(spark, sf_dir):
+    """X11 sketch-state incremental distinct counting: per-"day" HLL
+    sketches of user_id per event_type, merged with hll_union_agg — the
+    only way COUNT(DISTINCT) participates in incremental view
+    maintenance (exact distincts don't merge).  Merge-invariance
+    (union-of-sketches == sketch-of-union, bit-exact) and accuracy vs
+    exact countDistinct are pinned in tests/test_analytics_ops.py."""
+    from .operators import incremental
+
+    e = _t(spark, sf_dir, "events")
+    days = [
+        incremental.hll_state(
+            e.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id"
+        )
+        for i in range(3)
+    ]
+    return incremental.finalize_hll_state(
+        incremental.merge_hll_states(*days)
+    ).orderBy("event_type")

@@ -246,3 +246,32 @@ def test_incremental_late_batch_absorption(spark, sf_dir):
         for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_hll_incremental_merge_invariance_and_accuracy(spark, sf_dir):
+    """union-of-sketches must equal sketch-of-union EXACTLY (same sketch
+    state), and the estimate must sit within 5% of the true distinct
+    count at HLL lg_k=12."""
+    from etl_for_ecol_fusion_database_spark.operators import incremental
+
+    e = load_table(spark, sf_dir, "events")
+    days = [
+        incremental.hll_state(
+            e.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id"
+        )
+        for i in range(3)
+    ]
+    merged = incremental.finalize_hll_state(incremental.merge_hll_states(*days))
+    direct = incremental.finalize_hll_state(
+        incremental.hll_state(e, ["event_type"], "user_id")
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in merged.collect():
+        assert abs(r["approx_distinct"] - exact[r["event_type"]]) <= 0.05 * exact[r["event_type"]]

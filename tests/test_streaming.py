@@ -217,3 +217,39 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     }
     assert expected, "batch twin produced no rows (vacuous)"
     assert got == expected
+
+
+def test_docs_curation_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental (file-at-a-time) curation replay must accept the
+    same fingerprint set as the batch twin — quality/lang gates are pure
+    projections and dedup keys on content, so arrival order can only
+    change WHICH duplicate survives, never the surviving content set."""
+    from etl_for_ecol_fusion_database_spark.catalog import load_table
+    from etl_for_ecol_fusion_database_spark.streaming import docs_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "arrivals")
+    # three "arrival" files, including re-delivered rows (dup across files)
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    docs.filter((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 3 == 0)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    dest, ckpt = str(tmp_path / "curated"), str(tmp_path / "ckpt")
+    stream = docs_stream.read_documents_stream(spark, src)
+    q = docs_stream.run_curation_to_parquet(stream, dest, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(dest)
+    want = docs_stream.curate_documents(docs)
+    got_fps = {r["fingerprint"] for r in got.select("fingerprint").collect()}
+    want_fps = {r["fingerprint"] for r in want.select("fingerprint").collect()}
+    assert got_fps == want_fps
+    assert got.count() == len(got_fps)  # stream emitted each fingerprint once
+    # restart on the same checkpoint: nothing new to process, no dup output
+    q2 = docs_stream.run_curation_to_parquet(
+        docs_stream.read_documents_stream(spark, src), dest, ckpt
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(dest).count() == len(got_fps)
