@@ -102,6 +102,49 @@ def stratified_sample(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 100,
+    group_cols: list[str] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows via priority sampling
+    (Duffield–Lund–Thorup): priority = weight / u with u a deterministic
+    uniform in (0, 1] derived from the id hash; keep the k largest
+    priorities.  Heavier rows win proportionally more often, yet the whole
+    draw is a pure function of the data — reproducible across cluster
+    sizes, partitionings, and re-runs (the reproducibility property a
+    100 TB curation pipeline needs; RNG-seeded ``sample()`` is
+    partitioning-sensitive).
+
+    Plan shape: global top-k compiles to TakeOrderedAndProject (per-
+    partition heaps + single k-row merge, no global sort); grouped top-k is
+    one shuffle on the group key with a rank-filter window (Spark applies
+    WindowGroupLimit so partial top-k happens map-side).
+
+    Both u and the priority are single IEEE-754 correctly-rounded
+    divisions, so a DuckDB oracle evaluating the same expression gets
+    bit-identical doubles — the draw is engine-portable, not just
+    seed-stable.
+    """
+    u = (split_bucket(id_col, salt=salt) + F.lit(1)) / F.lit(N_BUCKETS)
+    prio = (F.col(weight_col).cast("double") / u).alias("priority")
+    keyed = df.select("*", prio)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("priority").desc(), F.col(id_col).asc()
+        )
+        return (
+            keyed.select("*", F.row_number().over(w).alias("_rn"))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return keyed.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k)
+
+
 def pack_shards(
     df: DataFrame,
     *,

@@ -807,6 +807,40 @@ def x6_stratified_sample(spark, sf_dir):
     return sampling.stratified_sample(docs, "lang", id_col="doc_id", fraction=0.1)
 
 
+@query(
+    "x6_weighted_sample",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / ((CAST((doc_id * 2654435761) % 1000 AS INT) + 1) / 1000.0)
+             AS priority
+    FROM documents
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY priority DESC, doc_id ASC
+    ) AS rn
+    FROM keyed
+)
+SELECT doc_id, lang, n_chars, priority FROM ranked WHERE rn <= 20
+""",
+)
+def x6_weighted_sample(spark, sf_dir):
+    """X6 deterministic weighted sample, 20 docs per language, via priority
+    sampling (Duffield-Lund-Thorup): priority = n_chars / u with u a
+    deterministic hash-uniform; token-heavy docs win proportionally more.
+    One shuffle on lang; WindowGroupLimit keeps per-partition top-k
+    map-side.  Priorities are single correctly-rounded IEEE divisions, so
+    the DuckDB oracle reproduces them bit-for-bit
+    (operators/sampling.py:weighted_priority_sample)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.weighted_priority_sample(
+        docs, "n_chars", id_col="doc_id", k=20, group_cols=["lang"]
+    )
+
+
 # ===========================================================================
 # X7 — SCD2 history derivation (warehouse-history form of the reference's
 # CL_STATUS_HISTORY consumption)
@@ -1453,6 +1487,58 @@ def f8_scalar_breadth(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "f10_array_funcs",
+    oracle="""
+WITH g AS (
+    SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qty_arr
+    FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qty_arr) AS INT) AS n_items,
+       array_to_string(qty_arr, ',') AS qty_csv,
+       array_to_string(qty_arr[1:3], ',') AS top3_csv,
+       COALESCE(array_to_string(list_filter(qty_arr, x -> x % 2 = 0), ','), '') AS even_csv,
+       CAST(list_sum(list_transform(qty_arr, x -> x * 2)) AS BIGINT) AS doubled_sum,
+       CAST(len(list_distinct(qty_arr)) AS INT) AS n_distinct,
+       CAST(list_max(qty_arr) AS INT) AS max_qty,
+       CAST(list_contains(qty_arr, 10) AS INT) AS has_ten
+FROM g
+ORDER BY l_orderkey
+""",
+)
+def f10_array_funcs(spark, sf_dir):
+    """F10 array / higher-order function breadth: collect_list +
+    array_sort aggregation, then slice, lambda filter, transform-and-fold
+    (``aggregate``), array_distinct, array_max, array_contains — the
+    complex-type layer a curation pipeline leans on for shingles, token
+    lists, and embedding manipulation.  Every lambda runs JVM-side
+    (Catalyst higher-order functions, no Python); arrays leave the query
+    as CSV strings so the driver canon stays scalar
+    (oracle: DuckDB list_* equivalents)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias("qty_arr")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("qty_arr").cast("int").alias("n_items"),
+        F.array_join(F.col("qty_arr").cast("array<string>"), ",").alias("qty_csv"),
+        F.array_join(F.slice("qty_arr", 1, 3).cast("array<string>"), ",").alias(
+            "top3_csv"
+        ),
+        F.array_join(
+            F.filter("qty_arr", lambda x: x % 2 == 0).cast("array<string>"), ","
+        ).alias("even_csv"),
+        F.aggregate(
+            "qty_arr", F.lit(0).cast("bigint"), lambda acc, x: acc + x * 2
+        ).alias("doubled_sum"),
+        F.size(F.array_distinct("qty_arr")).cast("int").alias("n_distinct"),
+        F.array_max("qty_arr").cast("int").alias("max_qty"),
+        F.array_contains("qty_arr", F.lit(10)).cast("int").alias("has_ten"),
+    ).orderBy("l_orderkey")
 
 
 # ===========================================================================
