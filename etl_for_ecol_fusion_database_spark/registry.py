@@ -974,7 +974,7 @@ SELECT COUNT(*) AS n_rows,
        CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
        strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
        strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship,
-       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags
 FROM lineitem
 """,
 )

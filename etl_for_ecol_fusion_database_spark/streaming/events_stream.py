@@ -25,12 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: explicit schema for the file stream source (streams cannot infer), with
-#: the raw nanosecond epoch as LONG (see catalog.NANOS_TIMESTAMP_COLS)
+#: explicit schema for the file stream source (streams cannot infer); the
+#: fixture stores ``ts`` as parquet TIMESTAMP(MICROS) without timezone,
+#: which Spark surfaces as TIMESTAMP_NTZ — matching the batch loader
+#: (catalog.load_table) so stream/batch twins share expression shapes.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # ns epoch in the fixture parquet
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -42,7 +44,6 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture parquet (at production
     scale this is a Kafka/queue source; the downstream plan is identical)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source requires a *directory*; select just the events file
     # from the fixture dir with a glob filter
     raw = (
@@ -51,7 +52,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so the
+    # NTZ->LTZ cast is wall-clock-identical to the batch loader's column
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -298,5 +301,8 @@ def view_click_interval_join(
         "view_id",
         "click_id",
         F.col("view_user").alias("user_id"),
-        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("gap_us"),
     )
