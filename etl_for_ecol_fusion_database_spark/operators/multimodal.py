@@ -70,17 +70,24 @@ def decode_image_real(payload: bytes) -> object:
     )
 
 
+def _fake_feature_sig(buf: bytes, dim: int = 8) -> list[int]:
+    """Integer form of the fake feature: per-dimension strided byte sums
+    mod 1000.  Pure integer arithmetic so an ANSI-SQL oracle can replicate
+    it exactly (DuckDB: nested list comprehension over ascii codes — the
+    fixture text is ASCII, so code point == utf-8 byte)."""
+    if not buf:
+        return [0] * dim
+    n = len(buf)
+    return [
+        (sum(buf[i] for i in range(d, n, dim)) if n > d else 0) % 1000
+        for d in range(dim)
+    ]
+
+
 def _fake_feature(buf: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'embedding' derived from byte statistics — stands
     in for a real decoder's feature output, keeps tests meaningful."""
-    if not buf:
-        return [0.0] * dim
-    out = []
-    n = len(buf)
-    for d in range(dim):
-        s = sum(buf[i] for i in range(d, n, dim)) if n > d else 0
-        out.append(round((s % 1000) / 1000.0, 6))
-    return out
+    return [round(s / 1000.0, 6) for s in _fake_feature_sig(buf, dim)]
 
 
 def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -149,7 +156,11 @@ def sample_frames_batch(n_frames: int = 4, frame_bytes: int = 64):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(k)
                     rows["frame_offset"].append(off)
-                    rows["feature_json"].append(json.dumps(_fake_feature(window, 4)))
+                    # integer signature, compact separators -> byte-identical
+                    # to the DuckDB oracle's '[' || array_to_string(...) || ']'
+                    rows["feature_json"].append(
+                        json.dumps(_fake_feature_sig(window, 4), separators=(",", ":"))
+                    )
             yield pd.DataFrame(rows)
 
     return _sample
@@ -175,6 +186,7 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
         T.StructField("start_byte", T.LongType(), False),
         T.StructField("end_byte", T.LongType(), False),
         T.StructField("energy", T.DoubleType(), False),
+        T.StructField("energy_raw", T.LongType(), False),
     ]
 )
 
@@ -195,6 +207,7 @@ def chunk_audio_batch(chunk_bytes: int = 256, hop_bytes: int = 192):
                 "start_byte": [],
                 "end_byte": [],
                 "energy": [],
+                "energy_raw": [],
             }
             for doc_id, buf in zip(pdf["doc_id"], pdf["media_bytes"]):
                 buf = buf or b""
@@ -207,6 +220,8 @@ def chunk_audio_batch(chunk_bytes: int = 256, hop_bytes: int = 192):
                     rows["start_byte"].append(start)
                     rows["end_byte"].append(start + len(w))
                     rows["energy"].append(round(sum(w) / (255.0 * len(w)), 6))
+                    # integer byte sum: the SQL-oracle-checkable companion
+                    rows["energy_raw"].append(sum(w))
                     start += hop_bytes
                     idx += 1
             yield pd.DataFrame(rows)

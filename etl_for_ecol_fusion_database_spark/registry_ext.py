@@ -503,18 +503,38 @@ def x4_binary_meta(spark, sf_dir):
     )
 
 
-@query("x4_media_decode")  # mapInPandas -> rows-only driver check
+@query(
+    "x4_media_decode",
+    oracle=r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       array_to_string(
+         [CAST(coalesce(list_sum([ascii(text[i])
+                                  for i in generate_series(d + 1, length(text), 8)]), 0)
+               % 1000 AS VARCHAR)
+          for d in generate_series(0, 7)], ',') AS feature_sig
+FROM documents
+""",
+)
 def x4_media_decode(spark, sf_dir):
     """X4 multimodal decode plumbing: documents -> opaque media BLOBs ->
     Arrow-batched (fake) decoder via mapInPandas; real codec is a marked
-    stub (operators/multimodal.py).  The feature vector is serialized with
-    to_json for the driver (array cells are unhashable in its pandas
-    canonicalizer); downstream consumers use decode_media directly and get
-    the typed array<float>."""
+    stub (operators/multimodal.py).  The fake feature is pure integer byte
+    arithmetic (strided sums mod 1000), so the DuckDB oracle replicates it
+    exactly with a nested list comprehension over ascii codes — a FULL
+    value-hash check of the mapInPandas plumbing, not just a row count.
+    The driver column is the integer signature (recovered losslessly from
+    the float feature: each value is k/1000); downstream consumers use
+    decode_media directly and get the typed array<float>."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     decoded = multimodal.decode_media(media)
     return decoded.select(
-        "doc_id", "n_bytes", F.to_json(F.col("feature")).alias("feature_json")
+        "doc_id",
+        "n_bytes",
+        F.expr(
+            "concat_ws(',', transform(feature,"
+            " x -> CAST(CAST(round(x * 1000) AS INT) AS STRING)))"
+        ).alias("feature_sig"),
     )
 
 
@@ -1227,13 +1247,42 @@ def x5_enriched_events(spark, sf_dir):
     )
 
 
-@query("x4_frame_sample")  # mapInPandas fan-out -> rows-only driver check
+@query(
+    "x4_frame_sample",
+    oracle=r"""
+WITH b AS (
+    SELECT doc_id, text, length(text) AS n,
+           greatest(length(text) // 4, 1) AS step
+    FROM documents WHERE doc_id < 200
+),
+f AS (
+    SELECT doc_id, text, n,
+           k, least(k * step, greatest(n - 1, 0)) AS off
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+SELECT doc_id,
+       CAST(k AS INT) AS frame_idx,
+       CAST(off AS BIGINT) AS frame_offset,
+       '[' || array_to_string(
+         [CAST(coalesce(list_sum([ascii(text[i])
+                                  for i in generate_series(off + 1 + d,
+                                                           least(off + 64, n), 4)]), 0)
+               % 1000 AS VARCHAR)
+          for d in generate_series(0, 3)], ',') || ']' AS feature_json
+FROM f
+ORDER BY doc_id, frame_idx
+""",
+)
 def x4_frame_sample(spark, sf_dir):
     """X4 frame sampling: each media row fans out to 4 evenly-spaced
     'frame' windows via one Arrow-batched mapInPandas pass (video ->
     frame-features shape; decode honestly stubbed, offsets + features
     deterministic).  Fan-out happens inside the Arrow batch — no shuffle.
-    tests/test_curation_ops.py pins fan-out arity and determinism."""
+    The per-frame feature is an integer byte-sum signature, replicated
+    exactly by the DuckDB oracle (window arithmetic + nested comprehension
+    over ascii codes), so the one-row-in/many-rows-out plumbing gets a full
+    value-hash check.  tests/test_curation_ops.py pins fan-out arity and
+    determinism."""
     from .operators import multimodal
 
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
@@ -1947,19 +1996,47 @@ def x3_ngram_lm_score(spark, sf_dir):
     )
 
 
-@query("x4_audio_chunks")  # mapInPandas variable fan-out -> rows-only driver check
+@query(
+    "x4_audio_chunks",
+    oracle=r"""
+WITH b AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE doc_id < 200 AND length(text) > 0
+),
+c AS (
+    SELECT doc_id, text, n,
+           unnest(generate_series(0, CAST(ceil(n / 192.0) AS INT) - 1)) AS idx
+    FROM b
+)
+SELECT doc_id,
+       CAST(idx AS INT) AS chunk_idx,
+       CAST(idx * 192 AS BIGINT) AS start_byte,
+       CAST(least(idx * 192 + 256, n) AS BIGINT) AS end_byte,
+       CAST(list_sum([ascii(text[i])
+                      for i in generate_series(idx * 192 + 1,
+                                               least(idx * 192 + 256, n))])
+            AS BIGINT) AS energy_raw
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+)
 def x4_audio_chunks(spark, sf_dir):
     """X4 audio chunking: overlapping 256B windows every 192B over each
     media payload (operators/multimodal.chunk_audio) — the audio framing
     twin of x4_frame_sample's fixed-arity video sampler.  Variable fan-out
-    per row, all inside the Arrow batch.  tests/test_curation_ops.py pins
-    full-coverage, overlap arithmetic, and determinism."""
+    per row, all inside the Arrow batch.  The driver surface carries the
+    integer per-chunk byte sum (energy_raw), which the DuckDB oracle
+    replicates exactly — full value-hash coverage of the variable fan-out;
+    the float energy stays on the operator for consumers.
+    tests/test_curation_ops.py pins full-coverage, overlap arithmetic, and
+    determinism."""
     from .operators import multimodal
 
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
     return (
         multimodal.chunk_audio(media)
         .filter(F.col("doc_id") < 200)
+        .select("doc_id", "chunk_idx", "start_byte", "end_byte", "energy_raw")
         .orderBy("doc_id", "chunk_idx")
     )
 
