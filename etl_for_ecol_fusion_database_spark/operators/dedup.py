@@ -363,6 +363,115 @@ def lsh_dropped_buckets(
     )
 
 
+#: portable universal-hash family over the Mersenne prime 2^31-1: the base
+#: hash is the first 12 hex chars of md5 (48 bits), reduced mod p, then
+#: h_i(x) = (a_i*x + b_i) mod p with a_i*x < 2^62 (no int64 overflow) — every
+#: step is ANSI-SQL-expressible, so a DuckDB oracle can replay the EXACT
+#: pipeline (xxhash64, used by the fast path above, exists only in Spark).
+_P_PORT = 2_147_483_647
+_PORT_A = [(2_654_435_761 * (2 * i + 1)) % _P_PORT for i in range(64)]
+_PORT_B = [(40_503 * 65_537 * (i + 1)) % _P_PORT for i in range(64)]
+
+
+def portable_hash_expr(col: str | Column) -> Column:
+    """48-bit md5-prefix hash reduced mod 2^31-1 — byte-identical between
+    Spark (``conv(substring(md5(x),1,12),16,10)``) and DuckDB (hex-digit
+    polynomial list comprehension).  JVM-side (md5+conv are codegen
+    builtins), ~2x the cost of xxhash64 — the price of SQL portability;
+    production dedup should keep xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long") % F.lit(
+        _P_PORT
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` with the portable hash family: identical
+    pipeline shape (shingle -> per-doc MIN aggregates -> band self-join ->
+    exact-Jaccard verification on candidates only), but every hash is
+    replayable in ANSI SQL, so the whole MinHash+LSH pipeline — banding
+    collisions included — gets a full value-hash driver oracle
+    (registry_ext.x1_minhash_portable) instead of a rows-only check.
+
+    Differences from the fast path, all forced by portability: md5-prefix
+    base hash (vs xxhash64), mod-p universal family (vs 64-bit wraparound),
+    band keys as joined strings (vs xxhash64 of the band slots), and
+    string-keyed intersection counting (vs 8-byte hash keys).  Same
+    shuffle structure, so the scale posture is unchanged."""
+    r = num_hashes // n_bands
+    sh = shingle_rows(df, id_col, text_col, n)
+    pairs = sh.withColumn("x", portable_hash_expr("shingle"))
+    per_doc = pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min((F.col("x") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(_P_PORT)).alias(
+                f"m_{i}"
+            )
+            for i in range(num_hashes)
+        ],
+    )
+    banded = per_doc.select(
+        "id",
+        "sz",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col(f"m_{b * r + j}").cast("string") for j in range(r)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"n_inter": 0})
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -433,6 +542,78 @@ def simhash_near_pairs(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """``simhash_near_pairs`` with the portable md5-prefix token hash and a
+    32-bit fingerprint in 8-bit pigeonhole blocks — every step (votes,
+    fingerprint packing, block join, popcount verify) is ANSI-SQL-
+    replayable, so the SimHash pipeline gets a full value-hash driver
+    oracle (registry_ext.x1_simhash_portable).  hamming<=3 over 4 blocks
+    keeps the pigeonhole guarantee: any qualifying pair agrees exactly on
+    at least one block.  Same aggregation/join shape as the 63-bit
+    xxhash64 fast path, which stays the production configuration."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), r"\s+")
+    pairs = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(n_bits)
+    ]
+    agg = pairs.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(n_bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    fps = agg.select("id", fp.alias("simhash"))
+    blocks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned("simhash", 8 * i)
+                        .bitwiseAND(F.lit(0xFF).cast("long"))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "simhash", "blk.block_idx", "blk.block_val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,

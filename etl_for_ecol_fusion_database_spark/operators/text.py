@@ -350,6 +350,29 @@ def fingerprint_rolling(df: DataFrame, text_col: str = "text", window: int = 8) 
     )
 
 
+def fingerprint_rolling_portable(
+    df: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """``fingerprint_rolling`` with the portable md5-prefix hash family
+    (operators/dedup.portable_hash_expr) instead of xxhash64 — every step
+    is ANSI-SQL-replayable, so the winnowing fingerprint gets a full
+    value-hash driver oracle (registry_ext.x3_fingerprint_portable).  The
+    per-gram md5 is ~2x xxhash64's cost; production fingerprinting keeps
+    the fast path."""
+    from .dedup import portable_hash_expr
+
+    normed = df.select("doc_id", normalize_text(text_col).alias("_norm"))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(_norm) - {window - 1}, 1)), "
+        f"i -> substring(_norm, i, {window}))"
+    )
+    return normed.select(
+        "doc_id",
+        F.array_min(F.transform(grams, portable_hash_expr)).alias("rolling_fp"),
+        F.md5(F.col("_norm")).alias("exact_fp"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms: (doc_id, token, tf, score, rank).
 

@@ -111,12 +111,166 @@ def x1_minhash_near_dup(spark, sf_dir):
     )
 
 
+def _minhash_portable_oracle() -> str:
+    """DuckDB replay of the ENTIRE portable MinHash+LSH pipeline — built
+    from the same constants as operators/dedup.minhash_lsh_pairs_portable
+    so the two cannot drift."""
+    mins = ",\n           ".join(
+        f"MIN(({dedup._PORT_A[i]} * x + {dedup._PORT_B[i]}) % {dedup._P_PORT}) AS m_{i}"
+        for i in range(16)
+    )
+    bands = "\n             ".join(
+        "WHEN {b} THEN array_to_string([{slots}], ',')".format(
+            b=b, slots=", ".join(f"m_{b * 4 + j}" for j in range(4))
+        )
+        for b in range(4)
+    )
+    return rf"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+    FROM documents WHERE doc_id < 20
+),
+toks AS (
+    SELECT doc_id AS id,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+    FROM docs
+),
+sh AS (
+    SELECT id,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN list_distinct([t[i] || ' ' || t[i+1]
+                                           for i in generate_series(1, len(t) - 1)])
+                       ELSE list_distinct(t) END) AS shingle
+    FROM toks
+),
+h AS (
+    SELECT id, shingle,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(shingle)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)])
+                % {dedup._P_PORT} AS BIGINT) AS x
+    FROM sh
+),
+sig AS (
+    SELECT id, COUNT(*) AS sz,
+           {mins}
+    FROM h GROUP BY id
+),
+banded AS (
+    SELECT id, sz, band_idx,
+           CASE band_idx
+             {bands}
+           END AS band_key
+    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh s1 ON s1.id = c.id_a
+    JOIN sh s2 ON s2.id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (c.sz_a + c.sz_b - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+            / (c.sz_a + c.sz_b - coalesce(i.n_inter, 0)), 6) >= 0.4
+"""
+
+
+@query("x1_minhash_portable", oracle=_minhash_portable_oracle())
+def x1_minhash_portable(spark, sf_dir):
+    """X1 MinHash+LSH with the PORTABLE hash family
+    (operators/dedup.minhash_lsh_pairs_portable): md5-prefix base hash +
+    mod-p universal permutations, so the DuckDB oracle replays the entire
+    pipeline — signatures, band collisions, candidate join, exact-Jaccard
+    verification — and the driver value-hash checks it end-to-end.  This is
+    the oracle-verified witness for the MinHash pipeline SHAPE; the
+    xxhash64 fast path (x1_minhash_near_dup) keeps the production hash and
+    a rows-only check."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs_portable(
+        docs, n=2, num_hashes=16, n_bands=4, threshold=0.4
+    )
+
+
 @query("x1_simhash_near_pairs")  # xxhash64-based -> rows-only driver check
 def x1_simhash_near_pairs(spark, sf_dir):
     """X1 SimHash near-dup pairs at hamming<=6 via 4-block pigeonhole
     equality joins (finds hamming<=3 exhaustively; 4-6 opportunistically)."""
     docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
     return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+def _simhash_portable_oracle() -> str:
+    """DuckDB replay of the portable SimHash pipeline — generated from the
+    same n_bits/blocks as operators/dedup.simhash_near_pairs_portable."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    packing = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return rf"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+    FROM documents WHERE doc_id < 20
+),
+tok AS (
+    SELECT doc_id AS id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS t
+    FROM docs
+),
+h AS (
+    SELECT id,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(t)[j]) - 1)
+                          * CAST(power(16, 12 - j) AS BIGINT)
+                          for j in generate_series(1, 12)]) AS BIGINT) AS h
+    FROM tok
+),
+v AS (
+    SELECT id,
+           {votes}
+    FROM h GROUP BY id
+),
+fp AS (
+    SELECT id, CAST({packing} AS BIGINT) AS simhash FROM v
+),
+blocks AS (
+    SELECT id, simhash, b AS block_idx, (simhash >> (8 * b)) & 255 AS block_val
+    FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("x1_simhash_portable", oracle=_simhash_portable_oracle())
+def x1_simhash_portable(spark, sf_dir):
+    """X1 SimHash with the PORTABLE md5-prefix hash family
+    (operators/dedup.simhash_near_pairs_portable): 32-bit fingerprint,
+    8-bit pigeonhole blocks, hamming<=3 — the DuckDB oracle replays votes,
+    packing, block join, and popcount verification exactly, so the SimHash
+    pipeline gets a full value-hash driver check beside the 63-bit
+    xxhash64 fast path's rows-only entry."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs_portable(docs, max_hamming=3)
 
 
 @query(
@@ -375,6 +529,35 @@ def x3_fingerprint_rolling(spark, sf_dir):
     char 8-grams); invariance under whitespace-only edits tested in
     tests/test_ext_operators.py."""
     return text.fingerprint_rolling(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x3_fingerprint_portable",
+    oracle=r"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id,
+       list_min([CAST(list_sum([(strpos('0123456789abcdef',
+                                        md5(substr(norm, i, 8))[j]) - 1)
+                                * CAST(power(16, 12 - j) AS BIGINT)
+                                for j in generate_series(1, 12)])
+                      % 2147483647 AS BIGINT)
+                 for i in generate_series(1, greatest(length(norm) - 7, 1))])
+           AS rolling_fp,
+       md5(norm) AS exact_fp
+FROM n
+""",
+)
+def x3_fingerprint_portable(spark, sf_dir):
+    """X3 rolling fingerprint with the portable md5-prefix hash family
+    (operators/text.fingerprint_rolling_portable): the DuckDB oracle
+    replays the min-over-8-grams winnowing exactly, giving the rolling
+    fingerprint a full value-hash driver check; x3_fingerprint_rolling
+    keeps the xxhash64 fast path with a rows-only check."""
+    return text.fingerprint_rolling_portable(_t(spark, sf_dir, "documents"))
 
 
 @query(

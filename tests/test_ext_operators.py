@@ -31,6 +31,31 @@ def test_minhash_finds_synthetic_near_dups(spark, sf_dir):
     assert all(r.jaccard >= 0.4 for r in pairs.collect())
 
 
+def test_minhash_portable_matches_fast_path_recall(spark, sf_dir):
+    """The portable-hash MinHash variant must recover the same injected
+    near-dups as the xxhash64 fast path, and its verified jaccard values
+    (exact, candidate-only) must agree with the fast path's on shared
+    pairs — the hash family changes WHICH candidates band together, never
+    the verified score."""
+    docs = _with_synthetic_near_dups(load_table(spark, sf_dir, "documents"))
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=2, num_hashes=32, n_bands=8, threshold=0.4
+        ).collect()
+    }
+    port = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs_portable(
+            docs, n=2, num_hashes=16, n_bands=4, threshold=0.4
+        ).collect()
+    }
+    expected = {(i, i + 1_000_000) for i in range(20)}
+    assert not expected - set(port), "portable minhash missed true near-dups"
+    for key in set(fast) & set(port):
+        assert fast[key] == port[key], f"jaccard disagrees on {key}"
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     """LSH pair set must be a subset of the exact all-pairs >= threshold
     (no false positives after the verify step)."""
