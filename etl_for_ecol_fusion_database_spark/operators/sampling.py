@@ -200,3 +200,67 @@ def pack_shards(
         *[c for c in df.columns],
         F.floor(cum_excl / F.lit(budget)).cast("int").alias("shard_id"),
     )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "lang",
+    *,
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-scaled domain mixture for training-data composition:
+    re-weight each domain's sampling rate by ``n_d^alpha`` (alpha < 1
+    upsamples small domains / downsamples dominant ones — the standard
+    multilingual/source-mixing scheme), then assign each document an
+    integer repeat count whose domain-average equals the target rate.
+
+    rate_d = (n_d^alpha / sum_d n_d^alpha) * N / n_d, rounded to 6 dp;
+    the integer part repeats every doc, and the fractional part converts
+    to an exact per-mille threshold against the deterministic id-hash
+    bucket — so n_repeats is a pure function of the data (reproducible
+    across partitionings and re-runs, no RNG), and the realized per-domain
+    repeat mass matches the target rate to 1/1000.
+
+    Scale shape: the domain table is a tiny aggregate (|domains| rows)
+    BROADCAST back onto the corpus — one map-side join, no data-sized
+    shuffle beyond the count groupBy.  alpha=0.5 uses sqrt (correctly
+    rounded in IEEE-754 on both Spark and DuckDB, unlike pow), keeping the
+    6-dp-rounded rates engine-portable for the driver oracle.
+    """
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 (sqrt) is portably deterministic")
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("_denom"),
+        F.sum("n_docs").alias("_n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "_dom",
+        "n_docs",
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double"))
+            / F.col("_denom")
+            * F.col("_n_total").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("target_rate"),
+    )
+    thous = F.round(F.col("target_rate") * 1000).cast("long")
+    keyed = df.join(
+        F.broadcast(rates), df[domain_col] == F.col("_dom")
+    ).select(
+        id_col,
+        F.col("_dom").alias("domain"),
+        "target_rate",
+        (
+            (thous / 1000).cast("long")
+            + F.when(
+                split_bucket(id_col, salt=salt) < (thous % 1000).cast("int"), 1
+            ).otherwise(0)
+        ).cast("int").alias("n_repeats"),
+    )
+    return keyed

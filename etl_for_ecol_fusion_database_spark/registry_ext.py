@@ -2732,3 +2732,97 @@ def x11_hll_incremental(spark, sf_dir):
     return incremental.finalize_hll_state(
         incremental.merge_hll_states(*days)
     ).orderBy("event_type")
+
+
+@query(
+    "x6_domain_mixture",
+    oracle="""
+WITH counts AS (
+    SELECT lang AS dom, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (
+    SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS denom,
+           SUM(n_docs) AS n_total
+    FROM counts
+),
+rates AS (
+    SELECT dom, n_docs,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / denom
+                 * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE),
+                 6) AS target_rate
+    FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id,
+       r.dom AS domain,
+       r.target_rate,
+       CAST((CAST(round(r.target_rate * 1000) AS BIGINT) // 1000)
+            + CASE WHEN (d.doc_id * 2654435761) % 1000
+                        < CAST(round(r.target_rate * 1000) AS BIGINT) % 1000
+                   THEN 1 ELSE 0 END AS INT) AS n_repeats
+FROM documents d JOIN rates r ON d.lang = r.dom
+""",
+)
+def x6_domain_mixture(spark, sf_dir):
+    """X6 temperature-scaled domain mixture (operators/sampling.
+    domain_mixture): per-language sampling rates re-weighted by
+    n^0.5 / sum(n^0.5) — the standard multilingual mixing scheme that
+    upsamples small domains — converted to deterministic integer per-doc
+    repeat counts via the id-hash per-mille bucket.  The domain-rate
+    table is a tiny broadcast; no data-sized shuffle beyond the count.
+    Fully oracle-checked: rates to 6 dp, repeat counts exactly."""
+    from .operators import sampling
+
+    return sampling.domain_mixture(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.5
+    )
+
+
+@query(
+    "x9_zorder_layout",
+    oracle="""
+WITH e AS (
+    SELECT event_id,
+           user_id % 1024 AS a,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) % 1024 AS b
+    FROM events WHERE event_id < 20000
+),
+z AS (
+    SELECT event_id,
+           CAST(list_sum([((a >> i) & 1) * CAST(power(2, 2 * i) AS BIGINT)
+                          + ((b >> i) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT)
+                          for i in generate_series(0, 9)]) AS BIGINT) AS zval
+    FROM e
+)
+SELECT event_id, zval,
+       CAST(zval >> 9 AS BIGINT) AS file_id
+FROM z
+""",
+)
+def x9_zorder_layout(spark, sf_dir):
+    """X9 Z-order (Morton) layout assignment (operators/layout): interleave
+    the bits of (user_id bucket, hour-of-epoch bucket) so a rewrite
+    clustered by zval gives parquet min/max skipping on BOTH columns —
+    the OPTIMIZE ZORDER BY shape.  The driver checks the bit-interleave
+    and file assignment exactly; the write half
+    (layout.zorder_write_layout) is repartitionByRange + sortWithin-
+    Partitions, asserted shuffle-shaped in tests/test_scale_ops.py."""
+    from .operators import layout
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select(
+            "event_id",
+            (F.col("user_id") % 1024).alias("a"),
+            (
+                F.floor(
+                    F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+                ).cast("long")
+                % 1024
+            ).alias("b"),
+        )
+    )
+    assigned = layout.zorder_assignment(
+        e, F.col("a"), F.col("b"), bits=10, rows_per_file=1 << 11
+    )
+    return assigned.select("event_id", "zval", "file_id")
