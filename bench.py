@@ -86,6 +86,12 @@ HEADLINE = [
     "x1_chunk_dedup",
     "x11_incremental_rollup",
     "a9_grouping_sets",
+    # round 3: portable-hash dedup witnesses, media decode plumbing,
+    # domain mixture, Z-order layout
+    "x1_minhash_portable",
+    "x4_media_decode",
+    "x6_domain_mixture",
+    "x9_zorder_layout",
 ]
 
 

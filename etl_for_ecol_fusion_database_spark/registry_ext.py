@@ -2788,8 +2788,8 @@ WITH e AS (
 ),
 z AS (
     SELECT event_id,
-           CAST(list_sum([((a >> i) & 1) * CAST(power(2, 2 * i) AS BIGINT)
-                          + ((b >> i) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT)
+           CAST(list_sum([((a >> i) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT)
+                          + ((b >> i) & 1) * CAST(power(2, 2 * i) AS BIGINT)
                           for i in generate_series(0, 9)]) AS BIGINT) AS zval
     FROM e
 )
@@ -2799,14 +2799,17 @@ FROM z
 """,
 )
 def x9_zorder_layout(spark, sf_dir):
-    """X9 Z-order (Morton) layout assignment (operators/layout): interleave
-    the bits of (user_id bucket, hour-of-epoch bucket) so a rewrite
-    clustered by zval gives parquet min/max skipping on BOTH columns —
-    the OPTIMIZE ZORDER BY shape.  The driver checks the bit-interleave
-    and file assignment exactly; the write half
-    (layout.zorder_write_layout) is repartitionByRange + sortWithin-
-    Partitions, asserted shuffle-shaped in tests/test_scale_ops.py."""
-    from .operators import layout
+    """X9 Z-order (Morton) layout assignment via the maintenance module's
+    production interleave (sources/maintenance.zorder_key_expr — the same
+    expression zorder_by range-partitions on): bits of the (user_id
+    bucket, hour-of-epoch bucket) ranks interleaved so a rewrite
+    clustered by zval gives parquet min/max skipping on BOTH columns.
+    This entry value-checks the bit interleave and coarse file assignment
+    exactly against DuckDB (zorder_key_expr puts column 0 on odd and
+    column 1 on even bit positions); the write half (zorder_by:
+    repartitionByRange + sortWithinPartitions + per-file min/max
+    tightness) is asserted in tests/test_maintenance.py."""
+    from .sources import maintenance
 
     e = (
         _t(spark, sf_dir, "events")
@@ -2822,7 +2825,9 @@ def x9_zorder_layout(spark, sf_dir):
             ).alias("b"),
         )
     )
-    assigned = layout.zorder_assignment(
-        e, F.col("a"), F.col("b"), bits=10, rows_per_file=1 << 11
+    zval = maintenance.zorder_key_expr(["a", "b"], n_bits=10)
+    return e.select(
+        "event_id",
+        zval.alias("zval"),
+        F.shiftrightunsigned(zval, 9).alias("file_id"),
     )
-    return assigned.select("event_id", "zval", "file_id")

@@ -150,46 +150,6 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bkt.b_lineitem")
     spark.sql("DROP DATABASE IF EXISTS bkt")
 
-def test_z_value_bit_interleave(spark):
-    """Morton-code ground truth on small known values + locality sanity."""
-    from etl_for_ecol_fusion_database_spark.operators import layout
-
-    df = spark.createDataFrame(
-        [(0, 0), (1, 0), (0, 1), (3, 3), (1023, 1023)], ["a", "b"]
-    )
-    got = {
-        (r.a, r.b): r.z
-        for r in df.select(
-            "a", "b", layout.z_value(F.col("a"), F.col("b"), bits=10).alias("z")
-        ).collect()
-    }
-    def morton(a, b):
-        return sum((((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
-                   for i in range(10))
-    for (a, b), z in got.items():
-        assert z == morton(a, b), (a, b, z)
-    assert got[(1023, 1023)] == (1 << 20) - 1
-
-
-def test_zorder_write_layout_is_range_partitioned(spark, sf_dir):
-    """The layout shuffle must be a range partitioning on zval followed by
-    a narrow within-partition sort (no global sort)."""
-    from etl_for_ecol_fusion_database_spark.operators import layout
-
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        (F.col("user_id") % 1024).alias("a"),
-        (F.col("event_id") % 1024).alias("b"),
-    )
-    assigned = layout.zorder_assignment(e, F.col("a"), F.col("b"), bits=10)
-    plan = (
-        layout.zorder_write_layout(assigned)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "rangepartitioning" in plan.lower()
-    assert plan.lower().count("sort") >= 1
-
-
 def test_domain_mixture_rates_and_mass(spark, sf_dir):
     """Mixture invariants: rates weighted toward small domains
     (alpha=0.5), total target mass == corpus size, and realized integer
