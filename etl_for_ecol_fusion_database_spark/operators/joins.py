@@ -112,3 +112,70 @@ def point_in_time_join(
         & (iv[valid_to].isNull() | (facts[fact_time] < iv[valid_to]))
     )
     return facts.join(iv, cond, "left").drop("_k")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+    left_keep: list[str] | None = None,
+    right_keep: list[str] | None = None,
+) -> DataFrame:
+    """Join rows whose time intervals OVERLAP ([ls, le] ∩ [rs, re] != ∅,
+    closed bounds), without a cartesian product.
+
+    The naive formulation is a pure non-equi join (``ls <= re AND rs <=
+    le``), which Spark can only execute as BroadcastNestedLoopJoin — O(n*m)
+    comparisons, a non-starter when neither side broadcasts.  The scalable
+    form EXPLODES each interval into the time buckets it touches
+    (``sequence(floor(start/W), floor(end/W))``) and equi-joins on the
+    bucket, so the shuffle is hash-partitioned on time locality and only
+    temporally-close rows ever meet; the exact overlap predicate then
+    filters within buckets, and one ``dropDuplicates`` removes the
+    multi-bucket double-matches.  Cost scales with sum(interval_length)/W
+    per side — pick ``bucket_seconds`` near the median interval length so
+    the fan-out stays O(1) per row.
+
+    Timestamps may be TIMESTAMP or TIMESTAMP_NTZ; both are cast through
+    TIMESTAMP (session TZ pinned UTC) to epoch seconds.
+    """
+    left_keep = left_keep or left.columns
+    right_keep = right_keep or right.columns
+
+    def _ep(c: str) -> Column:
+        return F.unix_timestamp(F.col(c).cast("timestamp"))
+
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(_ep(left_start) / bucket_seconds),
+                F.floor(_ep(left_end) / bucket_seconds),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(_ep(right_start) / bucket_seconds),
+                F.floor(_ep(right_end) / bucket_seconds),
+            )
+        ),
+    )
+    joined = lb.alias("l").join(
+        rb.alias("r"),
+        (F.col("l._bkt") == F.col("r._bkt"))
+        & (F.col(f"l.{left_start}") <= F.col(f"r.{right_end}"))
+        & (F.col(f"r.{right_start}") <= F.col(f"l.{left_end}")),
+    )
+    out = joined.select(
+        *[F.col(f"l.{c}") for c in left_keep],
+        *[F.col(f"r.{c}") for c in right_keep],
+    )
+    return out.dropDuplicates(left_keep + right_keep)

@@ -1,0 +1,80 @@
+"""X12 data-quality expectation checks: declarative violation counting
+over one scan, plus referential-integrity via anti-join.
+
+The reference carries PK/FK/NOT NULL constraints as *metadata* (DDL at
+ingest_ecollision_oracle_data.py:29-41) and relies on PostgreSQL to
+enforce them; a lakehouse engine cannot enforce, so the equivalent is an
+EXPECTATIONS REPORT the pipeline asserts on (the Great-Expectations /
+Deequ shape, expressed in plain DataFrame ops).
+
+Scale design: every column-level check is a conditional SUM inside ONE
+aggregation over ONE scan — adding a check adds an expression, not a
+pass; the single output row unpivots to (check, n_violations).  The only
+per-check extra scan is referential integrity (a left-anti join against
+the parent keys, broadcast when the parent is dimension-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def column_expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Evaluate named violation predicates in one aggregation pass.
+
+    ``checks`` maps check_name -> boolean Column that is TRUE for a
+    VIOLATING row.  Returns (check_name, n_violations, n_checked, passed)
+    with one row per check, all from a single scan."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in checks.items()
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("_n_checked"), *aggs)
+    long = row.unpivot(["_n_checked"], list(checks), "check_name", "n_violations")
+    return long.select(
+        "check_name",
+        "n_violations",
+        F.col("_n_checked").alias("n_checked"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    on: list[str],
+    *,
+    name: str,
+) -> DataFrame:
+    """Orphan-row count: child rows whose key has no parent (left-anti
+    join, broadcast the parent keys when dimension-sized).  Output schema
+    matches ``column_expectations`` so reports union."""
+    orphans = child.join(
+        F.broadcast(parent.select(*on).dropDuplicates()), on=on, how="left_anti"
+    )
+    n_child = child.count()
+    return orphans.agg(
+        F.lit(name).alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+        F.lit(n_child).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) == 0).alias("passed"),
+    )
+
+
+def uniqueness_check(df: DataFrame, keys: list[str], *, name: str) -> DataFrame:
+    """Rows participating in a duplicate key group (0 when ``keys`` is a
+    true primary key).  One groupBy shuffle on the key."""
+    n = df.count()
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("nv"))
+    )
+    return dups.select(
+        F.lit(name).alias("check_name"),
+        F.col("nv").alias("n_violations"),
+        F.lit(n).cast("long").alias("n_checked"),
+        (F.col("nv") == 0).alias("passed"),
+    )

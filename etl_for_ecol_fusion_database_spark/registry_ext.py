@@ -2831,3 +2831,150 @@ def x9_zorder_layout(spark, sf_dir):
         zval.alias("zval"),
         F.shiftrightunsigned(zval, 9).alias("file_id"),
     )
+
+
+@query(
+    "x5_interval_overlap",
+    oracle="""
+WITH v AS (
+    SELECT event_id AS view_id, ts AS vs, ts + INTERVAL '30 minutes' AS ve
+    FROM events WHERE event_type = 'view' AND event_id < 1000
+),
+c AS (
+    SELECT event_id AS click_id, ts AS cs, ts + INTERVAL '10 minutes' AS ce
+    FROM events WHERE event_type = 'click' AND event_id < 1000
+)
+SELECT v.view_id, c.click_id,
+       CAST(epoch_us(least(v.ve, c.ce)) - epoch_us(greatest(v.vs, c.cs)) AS BIGINT)
+           AS overlap_us
+FROM v JOIN c ON v.vs <= c.ce AND c.cs <= v.ve
+""",
+)
+def x5_interval_overlap(spark, sf_dir):
+    """X5 interval OVERLAP join (operators/joins.interval_overlap_join):
+    30-minute view windows x 10-minute click windows, joined where the
+    intervals intersect.  The naive non-equi form is a nested-loop
+    cartesian; the operator explodes each interval into the time buckets
+    it touches and equi-joins on the bucket, so only temporally-close rows
+    shuffle together — the standard range-join-at-scale rewrite.  The
+    DuckDB oracle uses the naive predicate (fine at sf0.01), so the
+    bucketed rewrite is value-checked equivalent to the declarative
+    semantics, overlap durations (microsecond-exact on both engines —
+    second-granularity epoch trunc/round semantics differ) included."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter((F.col("event_type") == "view") & (F.col("event_id") < 1000)).select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vs"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ve"),
+    )
+    c = e.filter((F.col("event_type") == "click") & (F.col("event_id") < 1000)).select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cs"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ce"),
+    )
+    from .operators.joins import interval_overlap_join
+
+    joined = interval_overlap_join(
+        v,
+        c,
+        left_start="vs",
+        left_end="ve",
+        right_start="cs",
+        right_end="ce",
+        bucket_seconds=1800,
+        left_keep=["view_id", "vs", "ve"],
+        right_keep=["click_id", "cs", "ce"],
+    )
+    ep = lambda col: F.unix_micros(F.col(col).cast("timestamp"))
+    return joined.select(
+        "view_id",
+        "click_id",
+        (
+            F.least(ep("ve"), ep("ce")) - F.greatest(ep("vs"), ep("cs"))
+        ).alias("overlap_us"),
+    )
+
+
+@query(
+    "x12_data_quality",
+    oracle="""
+WITH li AS (SELECT COUNT(*) AS n FROM lineitem),
+checks AS (
+    SELECT 'null_shipdate' AS check_name,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_range',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_enum',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_under_90k',
+           CAST(SUM(CASE WHEN l_extendedprice >= 90000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+),
+pk AS (
+    SELECT 'pk_orderkey_linenumber' AS check_name,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_violations
+    FROM (
+        SELECT COUNT(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    )
+),
+fk AS (
+    SELECT 'fk_lineitem_orders' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+)
+SELECT c.check_name, c.n_violations, li.n AS n_checked,
+       c.n_violations = 0 AS passed
+FROM (SELECT * FROM checks UNION ALL SELECT * FROM pk UNION ALL SELECT * FROM fk) c
+CROSS JOIN li
+""",
+)
+def x12_data_quality(spark, sf_dir):
+    """X12 data-quality expectations report (operators/quality.py): the
+    lakehouse answer to the reference's DB-enforced constraints
+    (ingest_ecollision_oracle_data.py:29-41) — NOT NULL, range, enum, and
+    cross-column checks as conditional SUMs in ONE scan, plus PK
+    uniqueness (one key groupBy) and FK orphan detection (broadcast
+    left-anti join).  All counts value-checked against DuckDB."""
+    from .operators import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    col_checks = quality.column_expectations(
+        li,
+        {
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "qty_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "returnflag_enum": ~F.col("l_returnflag").isin("A", "N", "R"),
+            "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            # deliberately tight expectation so the report's failing path
+            # (n_violations > 0, passed=false) is exercised on clean data
+            "price_under_90k": F.col("l_extendedprice") >= 90000,
+        },
+    )
+    pk = quality.uniqueness_check(
+        li, ["l_orderkey", "l_linenumber"], name="pk_orderkey_linenumber"
+    )
+    fk = quality.referential_check(
+        li,
+        od.select(F.col("o_orderkey").alias("l_orderkey")),
+        ["l_orderkey"],
+        name="fk_lineitem_orders",
+    )
+    # referential/uniqueness n_checked = lineitem count on both sides
+    return col_checks.unionByName(pk).unionByName(fk)

@@ -343,3 +343,73 @@ def test_audio_chunks_cover_and_overlap(spark, sf_dir):
         assert all(
             nxt.start_byte < cur.end_byte for cur, nxt in zip(chunks, chunks[1:])
         )
+
+
+def test_interval_overlap_join_matches_naive(spark, sf_dir):
+    """The bucketed interval-overlap rewrite must equal the naive non-equi
+    join on the same bounded input, for a bucket width both smaller and
+    larger than the interval lengths."""
+    from etl_for_ecol_fusion_database_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter((F.col("event_type") == "view") & (F.col("event_id") < 500)).select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vs"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ve"),
+    )
+    c = e.filter((F.col("event_type") == "click") & (F.col("event_id") < 500)).select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cs"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ce"),
+    )
+    naive = {
+        (r.view_id, r.click_id)
+        for r in v.join(
+            c, (F.col("vs") <= F.col("ce")) & (F.col("cs") <= F.col("ve"))
+        ).collect()
+    }
+    for bucket in (600, 7200):
+        got = {
+            (r.view_id, r.click_id)
+            for r in interval_overlap_join(
+                v, c,
+                left_start="vs", left_end="ve",
+                right_start="cs", right_end="ce",
+                bucket_seconds=bucket,
+                left_keep=["view_id"], right_keep=["click_id"],
+            ).collect()
+        }
+        assert got == naive, f"bucket={bucket}"
+
+
+def test_quality_checks_count_known_violations(spark):
+    """Expectation counting on a constructed table with known dirt."""
+    from etl_for_ecol_fusion_database_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, None, "A"), (3, 99, "X"), (3, 5, "A")],
+        ["id", "qty", "flag"],
+    )
+    rep = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in quality.column_expectations(
+            df,
+            {
+                "null_qty": F.col("qty").isNull(),
+                "qty_range": F.col("qty") > 50,
+                "flag_enum": ~F.col("flag").isin("A", "B"),
+            },
+        ).collect()
+    }
+    assert rep == {
+        "null_qty": (1, False),
+        "qty_range": (1, False),
+        "flag_enum": (1, False),
+    }
+    uniq = quality.uniqueness_check(df, ["id"], name="pk_id").collect()[0]
+    assert (uniq.n_violations, uniq.passed) == (2, False)
+    parent = spark.createDataFrame([(1,), (3,)], ["id"])
+    fk = quality.referential_check(df, parent, ["id"], name="fk").collect()[0]
+    assert (fk.n_violations, fk.passed) == (1, False)

@@ -33,6 +33,7 @@ BNLJ_OK = {
     "x3_ngram_lm_score": "1-row corpus-total relation crossed in",
     "x3_quality_threshold_filter": "1-row percentile-threshold relation crossed in",
     "q22_sales_opportunity": "1-row AVG scalar subquery crossed in (TPC-H shape)",
+    "x6_domain_mixture": "1-row normalization-total relation crossed into the |domains|-row rate table",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
