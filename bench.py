@@ -92,6 +92,9 @@ HEADLINE = [
     "x4_media_decode",
     "x6_domain_mixture",
     "x9_zorder_layout",
+    "x5_interval_overlap",
+    "x12_data_quality",
+    "x13_salted_agg",
 ]
 
 

@@ -2978,3 +2978,48 @@ def x12_data_quality(spark, sf_dir):
     )
     # referential/uniqueness n_checked = lineitem count on both sides
     return col_checks.unionByName(pk).unionByName(fk)
+
+
+@query(
+    "x13_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def x13_salted_agg(spark, sf_dir):
+    """X13 skew-mitigated aggregation (operators/skew.salted_groupby): the
+    two-phase groupBy(keys+salt) -> groupBy(keys) rewrite that bounds any
+    hot key's reducer load at corpus scale, value-checked against the
+    plain single-phase aggregation semantics (algebraic aggregates
+    recombine exactly — the oracle IS the unsalted query).  Decimal
+    accumulation + final DOUBLE projection per the cross-engine float
+    convention."""
+    from .operators import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = skew.salted_groupby(
+        li.withColumn("_q", F.col("l_quantity").cast("decimal(38,6)")),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("count", "l_orderkey"),
+            "sum_qty": ("sum", "_q"),
+            "min_ship": ("min", "l_shipdate"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "min_ship",
+        "max_ship",
+    )
