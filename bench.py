@@ -95,6 +95,7 @@ HEADLINE = [
     "x5_interval_overlap",
     "x12_data_quality",
     "x13_salted_agg",
+    "x1_dedup_longest_survivor",
 ]
 
 
@@ -123,6 +124,7 @@ def main() -> None:
     # than first-run whole-stage-codegen compilation (a fixed few seconds
     # that is pure noise against a 100 TB run).
     warm_dir = "/root/testdata/sf0.001"
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
@@ -132,11 +134,15 @@ def main() -> None:
                 fn(spark, warm_dir).count()
             except Exception:
                 pass
+        # one broken query must not void the whole bench (a round-2 bench
+        # produced NO data because a single query raised): record the error,
+        # keep timing the rest, surface everything in the JSON line
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        try:
+            fn(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ingest-shaped copy (BASELINE.md): read the two biggest tables, apply the
     # fusion-style transform (lineage lit + derived cols), write parquet.
@@ -154,20 +160,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest_rows": n_rows,
-                "ingest_rows_per_sec": round(n_rows / ingest_sec) if ingest_sec else None,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest_rows": n_rows,
+        "ingest_rows_per_sec": round(n_rows / ingest_sec) if ingest_sec else None,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -718,3 +718,36 @@ def decontaminate(
     column only, so the anti-join build side is slim)."""
     bad = contamination_report(train, test, id_col, text_col, n=n).select(id_col)
     return train.join(bad, on=id_col, how="left_anti")
+
+
+def dedup_survivors(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Exact-dedup survivor selection with a pluggable survivorship
+    policy: one row per duplicate group carrying the KEPT id.
+
+    ``prefer_col=None`` keeps the minimum id (reproducible default);
+    ``prefer_col="n_chars"`` (or any orderable column) keeps the row with
+    the LARGEST value, min-id on ties — the "keep the longest document"
+    policy production dedup usually wants, because trafficked near-copies
+    are truncations of the fullest original.
+
+    One hash-partitioned aggregation (``max_by`` over a struct — lexical
+    struct comparison gives the tiebreak for free); no window, no second
+    scan.  Map-side partial max_by collapses duplicates before the
+    shuffle, so a pathological 10M-copy group costs its reducer one row
+    per upstream partition."""
+    if prefer_col is None:
+        keep = F.min(id_col).alias("keep_id")
+    else:
+        keep = F.max_by(
+            id_col, F.struct(F.col(prefer_col), (-F.col(id_col)).alias("_tie"))
+        ).alias("keep_id")
+    aggs = [keep, F.count(F.lit(1)).alias("n_copies")]
+    if prefer_col is not None:
+        aggs.append(F.max(prefer_col).alias(f"max_{prefer_col}"))
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -3023,3 +3023,45 @@ def x13_salted_agg(spark, sf_dir):
         "min_ship",
         "max_ship",
     )
+
+
+@query(
+    "x1_dedup_longest_survivor",
+    oracle=r"""
+WITH fp AS (
+    SELECT doc_id, n_chars,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+ranked AS (
+    SELECT fingerprint, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies,
+           MAX(n_chars) OVER (PARTITION BY fingerprint) AS max_n_chars
+    FROM fp
+)
+SELECT fingerprint, doc_id AS keep_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       max_n_chars
+FROM ranked WHERE rn = 1
+""",
+)
+def x1_dedup_longest_survivor(spark, sf_dir):
+    """X1 survivorship POLICY dedup (operators/dedup.dedup_survivors):
+    exact-duplicate groups keyed by normalized-text md5 keep the LONGEST
+    member (min id on ties) — the keep-the-fullest-original policy — via
+    one max_by-over-struct aggregation (no window, map-side combine).
+    The DuckDB oracle derives the same survivor with a rank window,
+    value-checking the policy semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    return dedup.dedup_survivors(
+        keyed, ["fingerprint"], "doc_id", prefer_col="n_chars"
+    )

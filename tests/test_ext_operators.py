@@ -169,3 +169,19 @@ def test_lsh_bucket_cap_prevents_quadratic_blowup(spark, sf_dir):
         max_bucket_size=None,
     )
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_dedup_survivors_policies(spark):
+    """min-id vs keep-longest survivorship on a constructed dup group."""
+    df = spark.createDataFrame(
+        [(1, "k1", 10), (2, "k1", 99), (3, "k1", 99), (4, "k2", 5)],
+        ["id", "key", "size"],
+    )
+    by_min = {r.key: r.keep_id for r in dedup.dedup_survivors(df, ["key"], "id").collect()}
+    assert by_min == {"k1": 1, "k2": 4}
+    by_len = {
+        r.key: (r.keep_id, r.n_copies, r.max_size)
+        for r in dedup.dedup_survivors(df, ["key"], "id", prefer_col="size").collect()
+    }
+    # longest wins; id=2 beats id=3 on the min-id tiebreak
+    assert by_len == {"k1": (2, 3, 99), "k2": (4, 1, 5)}
