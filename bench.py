@@ -96,6 +96,8 @@ HEADLINE = [
     "x12_data_quality",
     "x13_salted_agg",
     "x1_dedup_longest_survivor",
+    "x3_inverted_index",
+    "x11_countmin_freq",
 ]
 
 

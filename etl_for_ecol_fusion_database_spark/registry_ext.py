@@ -3065,3 +3065,146 @@ def x1_dedup_longest_survivor(spark, sf_dir):
     return dedup.dedup_survivors(
         keyed, ["fingerprint"], "doc_id", prefer_col="n_chars"
     )
+
+
+@query(
+    "x3_inverted_index",
+    oracle=r"""
+WITH tok AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+posting AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, doc_freq, postings
+FROM posting
+WHERE doc_freq >= 50
+""",
+)
+def x3_inverted_index(spark, sf_dir):
+    """X3 inverted-index build (token -> sorted posting list): the search
+    primitive under keyword retrieval and sparse (BM25-style) hybrid
+    search.  explode -> per-(doc,token) distinct -> ONE token-keyed
+    aggregation; posting lists assemble with sort_array(collect_list)
+    inside the aggregate (map-side partial lists merge) — no window, no
+    second shuffle.  Emitted as comma-joined strings (bounded here to
+    common tokens, doc_freq >= 50) and value-checked against DuckDB's
+    ordered string_agg.  At corpus scale the doc_freq floor becomes a
+    stopword ceiling + posting-list sharding; the plan shape is
+    unchanged."""
+    from .operators.text import normalize_text
+
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(normalize_text("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .dropDuplicates(["doc_id", "token"])
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id"))).cast("array<string>")
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+def _countmin_oracle() -> str:
+    """DuckDB replay of the full count-min pipeline, generated from the
+    same hash constants as operators/sketches.py (depth=4, width=256)."""
+    P = dedup._P_PORT
+    W = 256
+    a_case = " ".join(
+        f"WHEN {r} THEN {dedup._PORT_A[r]}" for r in range(4)
+    )
+    b_case = " ".join(
+        f"WHEN {r} THEN {dedup._PORT_B[r]}" for r in range(4)
+    )
+    return rf"""
+WITH occ AS (
+    SELECT unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+occ2 AS (SELECT token FROM occ WHERE token <> ''),
+hx AS (
+    SELECT token,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(token)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)]) % {P} AS BIGINT) AS x
+    FROM occ2
+),
+buck AS (
+    SELECT token, r,
+           (((CASE r {a_case} END) * x + (CASE r {b_case} END)) % {P}) % {W}
+               AS bucket
+    FROM hx CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+),
+sketch AS (
+    SELECT r AS row, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM buck GROUP BY r, bucket
+),
+true_counts AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM occ2 GROUP BY token
+),
+probes AS (
+    SELECT token, true_count FROM true_counts
+    ORDER BY true_count DESC, token ASC LIMIT 20
+),
+pb AS (
+    SELECT p.token, p.true_count, b.r, b.bucket
+    FROM probes p JOIN (SELECT DISTINCT token, r, bucket FROM buck) b
+      USING (token)
+)
+SELECT pb.token,
+       MIN(s.n) AS est_count,
+       pb.true_count
+FROM pb JOIN sketch s ON s.row = pb.r AND s.bucket = pb.bucket
+GROUP BY pb.token, pb.true_count
+"""
+
+
+@query("x11_countmin_freq", oracle=_countmin_oracle())
+def x11_countmin_freq(spark, sf_dir):
+    """X11 count-min sketch point-frequency estimation
+    (operators/sketches.py): token occurrences folded into a 4x256
+    counter table (posexplode -> ONE bounded aggregation, map-side
+    combine caps the shuffle at sketch size), then the 20 most frequent
+    tokens estimated via min-over-rows against a broadcast of the sketch.
+    Portable hash family end to end, so the DuckDB oracle replays bucket
+    assignment, counters, and estimates exactly; est >= true by
+    construction (asserted in tests alongside the error bound)."""
+    from .operators import sketches
+    from .operators.text import normalize_text
+
+    occ = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalize_text("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = sketches.countmin_build(occ, depth=4, width=256)
+    true_counts = occ.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    probes = true_counts.orderBy(
+        F.desc("true_count"), F.asc("token")
+    ).limit(20)
+    est = sketches.countmin_estimate(
+        sketch, probes.select("token"), depth=4, width=256
+    )
+    return est.join(F.broadcast(probes), "token").select(
+        "token", "est_count", "true_count"
+    )

@@ -275,3 +275,54 @@ def test_hll_incremental_merge_invariance_and_accuracy(spark, sf_dir):
     }
     for r in merged.collect():
         assert abs(r["approx_distinct"] - exact[r["event_type"]]) <= 0.05 * exact[r["event_type"]]
+
+
+def test_countmin_overestimates_within_bound(spark, sf_dir):
+    """CMS invariants: est >= true for every probe; overestimate bounded
+    by total/width per row (loose union bound); and sketches MERGE by
+    cell-wise addition (sketch(A) + sketch(B) == sketch(A u B))."""
+    from etl_for_ecol_fusion_database_spark.operators import sketches
+    from etl_for_ecol_fusion_database_spark.operators.text import normalize_text
+
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalize_text("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .cache()
+    )
+    total = occ.count()
+    sketch = sketches.countmin_build(occ, depth=4, width=256)
+    true_counts = {
+        r.token: r.n
+        for r in occ.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = occ.select("token").distinct().limit(50)
+    est = {
+        r.token: r.est_count
+        for r in sketches.countmin_estimate(sketch, probes).collect()
+    }
+    n_outliers = 0
+    for tok, e in est.items():
+        t = true_counts[tok]
+        assert e >= t, f"CMS underestimated {tok}: {e} < {t}"
+        if e - t > total / 256 * 4:
+            n_outliers += 1
+    # the additive-error bound holds per token with prob ~1 - e^-depth
+    # (~98%); allow a small outlier tail rather than asserting it hard
+    assert n_outliers <= max(3, len(est) // 10), f"{n_outliers} CMS outliers"
+
+    # merge property: deterministic token-hash split, build two sketches,
+    # add cell-wise
+    a = occ.filter(F.abs(F.xxhash64("token")) % 2 == 0)
+    b = occ.filter(F.abs(F.xxhash64("token")) % 2 == 1)
+    sk_a = sketches.countmin_build(a, depth=4, width=256)
+    sk_b = sketches.countmin_build(b, depth=4, width=256)
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = {(r.row, r.bucket): r.n for r in sketch.collect()}
+    got = {(r.row, r.bucket): r.n for r in merged.collect()}
+    assert got == whole
+    occ.unpersist()
