@@ -98,6 +98,8 @@ HEADLINE = [
     "x1_dedup_longest_survivor",
     "x3_inverted_index",
     "x11_countmin_freq",
+    "x3_bm25_topk",
+    "x2_hybrid_rrf",
 ]
 
 

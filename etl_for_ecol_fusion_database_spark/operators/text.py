@@ -445,3 +445,68 @@ def chunk_documents(
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: top-``k`` documents for a
+    bag of query terms.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene form — always
+    positive), tf component = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Every aggregate is integer (tf, df, dl) until the final per-doc score,
+    which sums |query| scalar doubles and rounds to 6 dp — so the whole
+    ranking is engine-portable and oracle-checkable.
+
+    Shuffle shape: one (doc, token) aggregation builds tf for the query
+    terms ONLY (filter before the groupBy — the full vocabulary never
+    shuffles); df and avgdl are tiny aggregates broadcast back; the final
+    top-k is a TakeOrderedAndProject, not a global sort.  At corpus scale
+    this is the score-everything path; serving-latency retrieval uses the
+    inverted index (x3_inverted_index) to visit only posting lists."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), WS)).alias("token"),
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qt = toks.filter(F.col("token").isin(query_terms))
+    tf = qt.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    return per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

@@ -3208,3 +3208,170 @@ def x11_countmin_freq(spark, sf_dir):
     return est.join(F.broadcast(probes), "token").select(
         "token", "est_count", "true_count"
     )
+
+
+@query(
+    "x3_bm25_topk",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks2 WHERE token IN ('spark', 'shuffle', 'vector')
+    GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
+scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS term_score
+    FROM tf
+    JOIN dfreq USING (token)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+)
+SELECT doc_id,
+       round(SUM(term_score), 6) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def x3_bm25_topk(spark, sf_dir):
+    """X3 BM25 keyword retrieval (operators/text.bm25_scores): Lucene-form
+    idf + length-normalized tf, top-10 docs for a 3-term query.  Integer
+    aggregates (tf, df, dl) until the final per-doc score (|query| scalar
+    doubles summed, rounded 6 dp), so the ranking is engine-portable and
+    the DuckDB oracle replays it exactly.  Query-term filter runs BEFORE
+    the tf groupBy (full vocabulary never shuffles); df/avgdl broadcast;
+    the top-k is TakeOrderedAndProject — no global sort."""
+    return text.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        ["spark", "shuffle", "vector"],
+        k=10,
+    )
+
+
+@query(
+    "x2_hybrid_rrf",
+    oracle=r"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+),
+vec AS (
+    SELECT c.vec_id AS doc_id,
+           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine
+    FROM base q JOIN base c ON q.vec_id = 0 AND c.vec_id != 0
+),
+vecr AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT)
+               AS vec_rank
+    FROM vec ORDER BY cosine DESC, doc_id ASC LIMIT 50
+),
+toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks2 WHERE token IN ('spark', 'shuffle', 'vector')
+    GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
+kw AS (
+    SELECT tf.doc_id,
+           round(SUM(ln(1.0 + (stats.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+               AS bm25
+    FROM tf JOIN dfreq USING (token)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+kwr AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+               AS kw_rank
+    FROM kw ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+),
+fused AS (
+    SELECT COALESCE(v.doc_id, k.doc_id) AS doc_id,
+           COALESCE(v.vec_rank, 0) AS vec_rank,
+           COALESCE(k.kw_rank, 0) AS kw_rank,
+           round(CASE WHEN v.vec_rank IS NULL THEN 0.0
+                      ELSE 1.0 / (60 + v.vec_rank) END
+                 + CASE WHEN k.kw_rank IS NULL THEN 0.0
+                        ELSE 1.0 / (60 + k.kw_rank) END, 6) AS rrf
+    FROM vecr v FULL OUTER JOIN kwr k ON v.doc_id = k.doc_id
+)
+SELECT doc_id, rrf, vec_rank, kw_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+""",
+)
+def x2_hybrid_rrf(spark, sf_dir):
+    """X2 hybrid retrieval via reciprocal-rank fusion: the dense side
+    (exact cosine top-50 for query vector 0) and the sparse side (BM25
+    top-50 for a 3-term query) full-outer-joined on doc id, fused with
+    rrf = sum(1 / (60 + rank)) — the standard hybrid-search combiner.
+    Absent-side ranks carry a 0 sentinel (and contribute 0), keeping the
+    output NULL-free for the driver canon.  Both rank relations are
+    <= 50 rows post-top-k, so their rank windows are bounded-input by
+    construction; the fusion join is tiny.  Fully oracle-checked."""
+    from pyspark.sql.window import Window
+
+    vec = similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), k=50, n_queries=1
+    ).select(F.col("cand_id").alias("doc_id"), F.col("rank").cast("long").alias("vec_rank"))
+    kw = text.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "shuffle", "vector"], k=50
+    )
+    kwr = kw.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("kw_rank"),
+    )
+    fused = (
+        vec.join(kwr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("vec_rank").isNull(), 0.0).otherwise(
+                    1.0 / (60 + F.col("vec_rank"))
+                )
+                + F.when(F.col("kw_rank").isNull(), 0.0).otherwise(
+                    1.0 / (60 + F.col("kw_rank"))
+                ),
+                6,
+            ).alias("rrf"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            F.coalesce("kw_rank", F.lit(0)).alias("kw_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

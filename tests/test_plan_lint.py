@@ -34,6 +34,8 @@ BNLJ_OK = {
     "x3_quality_threshold_filter": "1-row percentile-threshold relation crossed in",
     "q22_sales_opportunity": "1-row AVG scalar subquery crossed in (TPC-H shape)",
     "x6_domain_mixture": "1-row normalization-total relation crossed into the |domains|-row rate table",
+    "x3_bm25_topk": "1-row corpus-stats relation (n_docs, avgdl) crossed into the query-term tf rows",
+    "x2_hybrid_rrf": "composes bm25_scores (same 1-row stats cross) for the sparse side",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
@@ -45,6 +47,7 @@ GLOBAL_WINDOW_OK = {
     "q11_important_value": "window over the post-aggregation partkey sums for ranking (TPC-H scalar-threshold shape)",
     "q15_top_supplier": "window over per-supplier revenue aggregate (|suppliers| rows, post-agg)",
     "q17_small_qty_revenue": "per-part avg window over the aggregated part set",
+    "x2_hybrid_rrf": "rank window over a post-top-k relation (<= 50 rows by construction)",
 }
 
 
