@@ -100,6 +100,7 @@ HEADLINE = [
     "x11_countmin_freq",
     "x3_bm25_topk",
     "x2_hybrid_rrf",
+    "x10_snapshot_diff",
 ]
 
 

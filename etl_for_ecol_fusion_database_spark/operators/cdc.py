@@ -48,3 +48,40 @@ def merge_apply(
             for col in base.columns
         ]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table diff between two snapshots: one row per changed key with
+    change_type I (inserted), D (deleted), or U (any compared column
+    differs) — the reverse of ``merge_apply`` (which APPLIES a change
+    feed, while this DERIVES one), and the building block of
+    snapshot-based CDC when the source has no change log.
+
+    One full-outer join on the key; per-column null-safe equality (<=>)
+    detects updates without materializing row hashes, so added compare
+    columns cost an expression, not a scan.  Unchanged keys drop out —
+    output is |changes|, not |table|."""
+    o = old.select(key, *compare_cols).alias("o")
+    n = new.select(key, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed = ne if changed is None else (changed | ne)
+    ctype = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("I"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            ctype.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

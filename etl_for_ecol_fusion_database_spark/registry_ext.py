@@ -3375,3 +3375,54 @@ def x2_hybrid_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "x10_snapshot_diff",
+    oracle="""
+WITH old AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 7 <> 0
+),
+new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'I'
+            WHEN new.o_orderkey IS NULL THEN 'D'
+            WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                 OR old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'U'
+       END AS change_type
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE (old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+""",
+)
+def x10_snapshot_diff(spark, sf_dir):
+    """X10 snapshot diff (operators/cdc.snapshot_diff): derive the change
+    feed between two table versions — deterministically mutated copies of
+    orders (mod-filters simulate deletes/inserts, a status rewrite
+    simulates updates) — via ONE full-outer key join with null-safe
+    per-column comparison.  The inverse of x10_cdc_merge's MERGE apply;
+    together they round-trip snapshot-based CDC.  Fully oracle-checked."""
+    from .operators import cdc
+
+    od = _t(spark, sf_dir, "orders")
+    old = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = od.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return cdc.snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )

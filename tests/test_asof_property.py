@@ -96,3 +96,67 @@ def test_asof_exclusive_boundary(spark):
     ).collect()
     assert incl[0].asof_v == 99
     assert excl[0].asof_v == 42
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join property check
+# ---------------------------------------------------------------------------
+
+#: epoch-second interval endpoints spanning several bucket widths
+_STARTS = st.integers(min_value=0, max_value=10_000)
+_LENGTHS = st.integers(min_value=0, max_value=4_000)
+_intervals = st.lists(
+    st.tuples(_STARTS, _LENGTHS), min_size=1, max_size=20
+)
+
+
+@given(left=_intervals, right=_intervals, bucket=st.sampled_from([600, 1800, 7200]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_overlap_matches_naive(spark, left, right, bucket):
+    """The bucketed overlap rewrite must equal the naive O(n*m) predicate
+    for arbitrary intervals (zero-length included) and any bucket width —
+    multi-bucket double-matches must dedupe away, boundary-touching
+    intervals (closed bounds) must match."""
+    from pyspark.sql import functions as F
+
+    from etl_for_ecol_fusion_database_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(left)],
+        "lid LONG, ls LONG, le LONG",
+    ).select(
+        "lid",
+        F.timestamp_seconds("ls").alias("ls"),
+        F.timestamp_seconds("le").alias("le"),
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(right)],
+        "rid LONG, rs LONG, re LONG",
+    ).select(
+        "rid",
+        F.timestamp_seconds("rs").alias("rs"),
+        F.timestamp_seconds("re").alias("re"),
+    )
+    naive = {
+        (r.lid, r.rid)
+        for r in ldf.join(
+            rdf, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    }
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_seconds=bucket,
+            left_keep=["lid"], right_keep=["rid"],
+        ).collect()
+    }
+    assert got == naive
