@@ -101,6 +101,7 @@ HEADLINE = [
     "x3_bm25_topk",
     "x2_hybrid_rrf",
     "x10_snapshot_diff",
+    "x3_char_entropy",
 ]
 
 

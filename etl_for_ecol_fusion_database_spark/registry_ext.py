@@ -3426,3 +3426,69 @@ def x10_snapshot_diff(spark, sf_dir):
     return cdc.snapshot_diff(
         old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "x3_char_entropy",
+    oracle=r"""
+WITH chars AS (
+    SELECT doc_id,
+           unnest([text[i] for i in generate_series(1, length(text))]) AS ch
+    FROM documents WHERE length(text) > 0
+),
+freq AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
+    FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+    SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS total FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(tot.total AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       round(-SUM((f.n / tot.total) * ln(f.n / tot.total)), 6) AS entropy
+FROM freq f JOIN tot USING (doc_id)
+GROUP BY f.doc_id, tot.total
+""",
+)
+def x3_char_entropy(spark, sf_dir):
+    """X3 character-entropy quality signal: Shannon entropy of the per-doc
+    character distribution — low entropy flags repetitive/degenerate text,
+    abnormally high flags random noise; the statistical complement of the
+    n-gram repetition signals (x3_repetition_signals).
+
+    Shuffle shape: the (doc, char) aggregation's map-side combine caps the
+    shuffle at |alphabet| rows per doc per partition (~100, not text
+    length), and the second per-doc aggregation reuses the doc_id-prefixed
+    partitioning.  Float entropy is one rounded SUM of <= |alphabet|
+    scalar terms — engine-portable under the 6-dp guard."""
+    chars = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            ).alias("ch"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        freq.withColumn(
+            "total", F.sum("n").over(Window.partitionBy("doc_id")).cast("double")
+        )
+        .groupBy("doc_id", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars"),
+            "n_distinct_chars",
+            "entropy",
+        )
+    )
