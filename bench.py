@@ -102,6 +102,7 @@ HEADLINE = [
     "x2_hybrid_rrf",
     "x10_snapshot_diff",
     "x3_char_entropy",
+    "x8_kmeans_assign",
 ]
 
 

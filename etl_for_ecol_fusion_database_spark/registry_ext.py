@@ -3492,3 +3492,50 @@ def x3_char_entropy(spark, sf_dir):
             "entropy",
         )
     )
+
+
+@query(
+    "x8_kmeans_assign",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4
+),
+d AS (
+    SELECT e.vec_id, cent.c_id,
+           list_sum([(e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])
+                     for i in generate_series(1, len(e.v))]) AS dist
+    FROM e CROSS JOIN cent
+),
+ranked AS (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, c_id ASC) AS rn
+    FROM d
+)
+SELECT vec_id, CAST(c_id AS INT) AS cluster
+FROM ranked WHERE rn = 1
+""",
+)
+def x8_kmeans_assign(spark, sf_dir):
+    """X8 k-means ASSIGNMENT step with pinned centroids (the first 4
+    vectors — the same deterministic lowest-id seeding kmeans_fit uses):
+    argmin squared-L2 via a sequential double fold per centroid, ties to
+    the lowest cluster index.  Both engines fold the 64 dims left-to-right
+    in double precision, so the distances are bit-identical and the
+    assignment is fully oracle-checked — the exact math the iterative
+    Lloyd's loop (x8_kmeans_clusters, rows-only) applies every round.
+    Centroids enter the Spark plan as literal arrays (broadcast with the
+    task binary); the corpus never shuffles."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return clustering.assign_clusters(emb, "v", seeds).select("vec_id", "cluster")
