@@ -103,6 +103,7 @@ HEADLINE = [
     "x10_snapshot_diff",
     "x3_char_entropy",
     "x8_kmeans_assign",
+    "x2_lsh_portable",
 ]
 
 

@@ -145,6 +145,40 @@ def hyperplane_signatures_df(
     return agg.select("id", sig.alias("bucket"))
 
 
+def portable_hyperplane_signatures_df(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "v",
+    *,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """``hyperplane_signatures_df`` with integer-valued plane components
+    p(bit, i) = ((bit*37 + i*101 + 13 + seed) % 7) - 3 and SEQUENTIAL
+    double folds for the projections — both choices trade throughput for
+    bit-identical cross-engine arithmetic (same trick as the oracle-
+    checked k-means assignment), so a DuckDB oracle can replay bucket
+    assignment exactly.  The xxhash64/posexplode fast path above stays
+    the production configuration (codegen aggregation, richer planes)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        arr = F.expr(
+            f"transform(sequence(0, size(_v) - 1),"
+            f" i -> _v[i] * CAST((({b} * 37 + i * 101 + 13 + {seed}) % 7) - 3"
+            f" AS DOUBLE))"
+        )
+        dot = F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return base.select("id", sig.alias("bucket"))
+
+
 def lsh_bucketed_ann(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -155,6 +189,7 @@ def lsh_bucketed_ann(
     n_bits: int = 8,
     seed: int = 42,
     multiprobe: int = 2,
+    signature_fn=hyperplane_signatures_df,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's hyperplane bucket (plus all
     buckets within hamming distance ``multiprobe`` of it) and rank by exact
@@ -163,7 +198,7 @@ def lsh_bucketed_ann(
     it.  On near-uniform random vectors recall is inherently modest (the
     neighbor/non-neighbor cosine gap is small); multiprobe radius trades
     candidates for recall."""
-    sigs = hyperplane_signatures_df(
+    sigs = signature_fn(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         n_bits=n_bits,
         seed=seed,

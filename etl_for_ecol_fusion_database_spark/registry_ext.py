@@ -3539,3 +3539,67 @@ def x8_kmeans_assign(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
     ]
     return clustering.assign_clusters(emb, "v", seeds).select("vec_id", "cluster")
+
+
+@query(
+    "x2_lsh_portable",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (
+    SELECT vec_id,
+           CAST(list_sum([CASE WHEN
+                    list_sum([v[i] * (((b * 37 + (i - 1) * 101 + 13 + 42) % 7) - 3)
+                              for i in generate_series(1, len(v))]) > 0
+                    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END
+                 for b in generate_series(0, 7)]) AS BIGINT) AS bucket
+    FROM e
+),
+n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (
+    SELECT e.vec_id AS q_id, e.v AS qv, n.nrm AS qnorm, s.bucket AS qsig
+    FROM e JOIN n USING (vec_id) JOIN sig s USING (vec_id)
+    WHERE e.vec_id < 20
+),
+probes AS (
+    SELECT q_id, qv, qnorm, xor(qsig, m) AS bucket
+    FROM q CROSS JOIN (
+        SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS BIGINT) AS m)
+),
+c AS (
+    SELECT e.vec_id AS cand_id, e.v AS cv, n.nrm AS cnorm, s.bucket
+    FROM e JOIN n USING (vec_id) JOIN sig s USING (vec_id)
+),
+scored AS (
+    SELECT DISTINCT p.q_id, c.cand_id,
+           round(list_dot_product(p.qv, c.cv) / (p.qnorm * c.cnorm), 6) AS cosine
+    FROM probes p JOIN c USING (bucket)
+    WHERE p.q_id != c.cand_id
+),
+ranked AS (
+    SELECT q_id, cand_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def x2_lsh_portable(spark, sf_dir):
+    """X2 hyperplane-LSH ANN with PORTABLE bucket assignment
+    (operators/similarity.portable_hyperplane_signatures_df): integer
+    plane components and sequential double folds make the projections
+    bit-identical across engines, so the DuckDB oracle replays bucketing,
+    single-bit multiprobe, candidate generation, and exact-cosine ranking
+    end to end — the oracle-verified witness for the LSH ANN pipeline
+    shape; x2_lsh_bucketed_ann keeps the xxhash64 production planes with
+    a rows-only check."""
+    return similarity.lsh_bucketed_ann(
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        n_queries=20,
+        n_bits=8,
+        multiprobe=1,
+        signature_fn=similarity.portable_hyperplane_signatures_df,
+    )
