@@ -104,6 +104,7 @@ HEADLINE = [
     "x3_char_entropy",
     "x8_kmeans_assign",
     "x2_lsh_portable",
+    "x9_curation_v2",
 ]
 
 

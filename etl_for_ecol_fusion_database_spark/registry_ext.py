@@ -3603,3 +3603,75 @@ def x2_lsh_portable(spark, sf_dir):
         multiprobe=1,
         signature_fn=similarity.portable_hyperplane_signatures_df,
     )
+
+
+@query(
+    "x9_curation_v2",
+    oracle=r"""
+WITH fp AS (
+    SELECT doc_id, lang, n_chars,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM fp
+),
+survivors AS (SELECT doc_id, lang FROM ranked WHERE rn = 1),
+counts AS (SELECT lang AS dom, COUNT(*) AS n_docs FROM survivors GROUP BY lang),
+tot AS (
+    SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS denom, SUM(n_docs) AS n_total
+    FROM counts
+),
+rates AS (
+    SELECT dom,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / denom
+                 * CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS target_rate
+    FROM counts CROSS JOIN tot
+)
+SELECT s.doc_id,
+       s.lang AS domain,
+       CAST((CAST(round(r.target_rate * 1000) AS BIGINT) // 1000)
+            + CASE WHEN (s.doc_id * 2654435761) % 1000
+                        < CAST(round(r.target_rate * 1000) AS BIGINT) % 1000
+                   THEN 1 ELSE 0 END AS INT) AS n_repeats,
+       CASE WHEN (s.doc_id * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN (s.doc_id * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM survivors s JOIN rates r ON s.lang = r.dom
+""",
+)
+def x9_curation_v2(spark, sf_dir):
+    """X9 curation pipeline v2 — the round-3 operators composed into ONE
+    chained plan: survivorship dedup (keep-longest per normalized-text
+    fingerprint) -> temperature-scaled domain mixture over the SURVIVORS
+    -> deterministic train/val/test split.  Shuffle budget: the dedup
+    groupBy (fingerprint) + the tiny domain count; the mixture rates and
+    split assignment are broadcast/narrow.  Every stage is the
+    oracle-checked operator; the chained oracle re-derives the whole DAG
+    in SQL CTEs, so stage INTERACTIONS (dedup feeding the mixture's
+    denominators) are value-checked too, not just each stage alone."""
+    from .operators import dedup as dd
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )
+    surv = dd.dedup_survivors(
+        keyed, ["fingerprint"], "doc_id", prefer_col="n_chars"
+    ).select(F.col("keep_id").alias("doc_id"))
+    survivors = surv.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = sampling.domain_mixture(survivors, "lang", alpha=0.5)
+    split = sampling.hash_split(
+        mixed.select("doc_id", "domain", "n_repeats"), "doc_id"
+    )
+    return split.select("doc_id", "domain", "n_repeats", "split")

@@ -36,6 +36,7 @@ BNLJ_OK = {
     "x6_domain_mixture": "1-row normalization-total relation crossed into the |domains|-row rate table",
     "x3_bm25_topk": "1-row corpus-stats relation (n_docs, avgdl) crossed into the query-term tf rows",
     "x2_hybrid_rrf": "composes bm25_scores (same 1-row stats cross) for the sparse side",
+    "x9_curation_v2": "composes domain_mixture (same 1-row normalization-total cross)",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
