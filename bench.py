@@ -105,6 +105,7 @@ HEADLINE = [
     "x8_kmeans_assign",
     "x2_lsh_portable",
     "x9_curation_v2",
+    "x12_column_profile",
 ]
 
 

@@ -3675,3 +3675,61 @@ def x9_curation_v2(spark, sf_dir):
         mixed.select("doc_id", "domain", "n_repeats"), "doc_id"
     )
     return split.select("doc_id", "domain", "n_repeats", "split")
+
+
+@query(
+    "x12_column_profile",
+    oracle="""
+SELECT 'o_custkey' AS column_name,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+""",
+)
+def x12_column_profile(spark, sf_dir):
+    """X12 per-column data profile (null count, exact distinct count, row
+    count) — the data-level twin of the reference's catalog reflection
+    (helper_db_operation.py:33-39 reads column NULLability from metadata;
+    this measures it).  ONE aggregation pass: count-distincts for several
+    columns in a single agg (Spark plans them via a shared expand — one
+    scan, not one per column), then unpivoted to (column, stats) rows.
+    Exact distincts are for profile parity; at 100 TB swap in
+    approx_count_distinct (the x3_profile_sketch path) per column."""
+    od = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"n_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"d_{c}"))
+    row = od.agg(F.count(F.lit(1)).alias("_rows"), *aggs)
+    stacked = row.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, n_nulls, n_distinct)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', n_{c}, d_{c}" for c in cols),
+            )
+        ),
+        F.col("_rows").alias("n_rows"),
+    )
+    return stacked
