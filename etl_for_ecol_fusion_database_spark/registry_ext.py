@@ -3654,7 +3654,6 @@ def x9_curation_v2(spark, sf_dir):
     oracle-checked operator; the chained oracle re-derives the whole DAG
     in SQL CTEs, so stage INTERACTIONS (dedup feeding the mixture's
     denominators) are value-checked too, not just each stage alone."""
-    from .operators import dedup as dd
     from .operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
@@ -3666,10 +3665,26 @@ def x9_curation_v2(spark, sf_dir):
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fingerprint"),
     )
-    surv = dd.dedup_survivors(
-        keyed, ["fingerprint"], "doc_id", prefer_col="n_chars"
-    ).select(F.col("keep_id").alias("doc_id"))
-    survivors = surv.join(docs.select("doc_id", "lang"), "doc_id")
+    # survivorship with the lang CARRIED through the aggregation (max_by
+    # over a struct payload) — no re-join of survivors back to the corpus,
+    # which would cost two extra doc_id shuffles
+    survivors = (
+        keyed.groupBy("fingerprint")
+        .agg(
+            F.max_by(
+                F.struct(F.col("doc_id"), F.col("lang")),
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_tie")),
+            ).alias("_kept")
+        )
+        .select(F.col("_kept.doc_id").alias("doc_id"), F.col("_kept.lang").alias("lang"))
+    )
+    # the mixture consumes survivors twice (domain counts + the final keyed
+    # join) and Catalyst re-plans the subtree per consumer with divergent
+    # column pruning, defeating exchange reuse — persist the (deduplicated,
+    # 2-column) relation so the fingerprint shuffle runs ONCE.  Same call a
+    # production pipeline makes before fanning a curated corpus into
+    # multiple consumers.
+    survivors = survivors.persist()
     mixed = sampling.domain_mixture(survivors, "lang", alpha=0.5)
     split = sampling.hash_split(
         mixed.select("doc_id", "domain", "n_repeats"), "doc_id"

@@ -278,3 +278,31 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastExchange" in plan
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 1, plan
+
+
+def test_bm25_query_term_filter_reaches_scan(spark, sf_dir):
+    """The query-term isin filter must apply before the tf aggregation (the
+    full vocabulary never shuffles) and df/avgdl enter via broadcast."""
+    plan = _final_plan(registry.QUERIES["x3_bm25_topk"](spark, sf_dir))
+    assert "In(token" in plan or "token#" in plan  # filter present post-explode
+    assert "BroadcastExchange" in plan
+    # top-k must be TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_v2_shuffle_budget(spark, sf_dir):
+    """The deduplicated survivors relation is persisted and BOTH mixture
+    consumers (domain counts and the final keyed join) must read the
+    cache — the fingerprint shuffle runs once, not once per consumer;
+    rates enter broadcast.  (Exchange text-counting is meaningless here:
+    each InMemoryTableScan prints the cached subtree's plan again.)"""
+    plan = _final_plan(registry.QUERIES["x9_curation_v2"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert plan.count("InMemoryTableScan") >= 2, "survivors cache not reused"
+
+
+def test_zorder_assignment_is_narrow(spark, sf_dir):
+    """The Morton assignment is a pure projection: NO exchange of any
+    kind in the plan."""
+    plan = _final_plan(registry.QUERIES["x9_zorder_layout"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
