@@ -245,3 +245,20 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)" in plan
+
+
+def test_events_ts_loads_as_timestamp_any_encoding(spark, sf_dir):
+    """Fixture-drift canary: the events.ts physical encoding has changed
+    between driver rounds (TIMESTAMP(NANOS)-as-long -> TIMESTAMP(MICROS)/
+    NTZ).  Whatever the parquet carries, load_table must surface a
+    timestamp-family column — if this fails, check the fixture schema
+    with pyarrow before debugging anything downstream."""
+    dt = catalog.load_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert isinstance(dt, (T.TimestampType, T.TimestampNTZType)), dt
+    # and the streaming source must agree with the batch loader's clock
+    from etl_for_ecol_fusion_database_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    sdt = read_events_stream(spark, sf_dir).schema["ts"].dataType
+    assert isinstance(sdt, T.TimestampType), sdt
