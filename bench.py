@@ -109,16 +109,60 @@ HEADLINE = [
 ]
 
 
+#: full per-query detail (timings at 3dp, shuffle bytes, errors) is written
+#: here — the stdout JSON line must stay under the driver's 2000-char tail
+#: capture (the r03 line was ~2.7k chars and lost its head), so it carries
+#: 2dp timings only and the rest lives in this file.
+DETAIL_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULTS.json")
+
+
+def _shuffle_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all stages.
+
+    Uses the always-on AppStatusStore (the structure behind the Spark UI /
+    REST API) via py4j; per-query deltas of these totals give the shuffle
+    volume each benchmark query moved.  Returns None if the internal API
+    shape ever changes — shuffle metrics are best-effort evidence, never a
+    reason to lose the timings.
+    """
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        darr = sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False, darr, jvm.java.util.ArrayList()
+        )
+        read = write = 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+        return read, write
+    except Exception:
+        return None
+
+
 def main() -> None:
     from etl_for_ecol_fusion_database_spark import registry
     from etl_for_ecol_fusion_database_spark.catalog import load_table
     from etl_for_ecol_fusion_database_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    spark = get_spark("bench")
+    # retain enough stage history that cumulative shuffle totals never shrink
+    # mid-run (eviction would make per-query deltas negative)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, dict[str, int]] = {}
 
     # warm the JVM once (codegen, shuffle + window machinery) — not counted
     from pyspark.sql.window import Window
@@ -147,12 +191,20 @@ def main() -> None:
         # one broken query must not void the whole bench (a round-2 bench
         # produced NO data because a single query raised): record the error,
         # keep timing the rest, surface everything in the JSON line
+        before = _shuffle_totals(spark)
         t0 = time.perf_counter()
         try:
             fn(spark, SF_DIR).count()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 - report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        after = _shuffle_totals(spark)
+        if before is not None and after is not None:
+            shuffle_bytes[name] = {
+                "read": max(0, after[0] - before[0]),
+                "write": max(0, after[1] - before[1]),
+            }
 
     # ingest-shaped copy (BASELINE.md): read the two biggest tables, apply the
     # fusion-style transform (lineage lit + derived cols), write parquet.
@@ -170,19 +222,53 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    payload = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    rows_per_sec = round(n_rows / ingest_sec) if ingest_sec else None
+
+    # full-precision detail (incl. per-query shuffle bytes) → side file; the
+    # driver's tail capture only keeps the last 2000 chars of stdout
+    detail = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "shuffle_bytes": shuffle_bytes,
+        "sf": sf_val,
         "ingest_rows": n_rows,
-        "ingest_rows_per_sec": round(n_rows / ingest_sec) if ingest_sec else None,
+        "ingest_rows_per_sec": rows_per_sec,
+        "errors": errors,
+    }
+    try:
+        with open(DETAIL_FILE, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    # stdout contract: ONE parseable JSON line, guaranteed < 2000 chars.
+    # Degrade precision (2dp → 1dp) before ever dropping per-query data.
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+        "ingest_rows_per_sec": rows_per_sec,
+        "detail_file": os.path.basename(DETAIL_FILE),
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        payload["errors_count"] = len(errors)
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        # last resort: keep the slowest queries inline, rest in the file
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+        payload["queries"] = {k: round(v, 1) for k, v in top.items()}
+        payload["queries_truncated"] = len(timings) - len(top)
+        line = json.dumps(payload, separators=(",", ":"))
     spark.stop()
+    print(line)
     if errors:
         sys.exit(1)
 
