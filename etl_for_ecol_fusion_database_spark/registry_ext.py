@@ -2128,7 +2128,11 @@ idx AS (
     FROM t WHERE length(s) >= 3
 ),
 tri AS (SELECT doc_id, lang, substr(s, i, 3) AS g FROM idx),
-model AS (SELECT g, COUNT(*) AS c FROM tri WHERE lang = 'en' GROUP BY g),
+model AS (
+    SELECT g, c FROM (
+        SELECT g, COUNT(*) AS c FROM tri WHERE lang = 'en' GROUP BY g
+    ) ORDER BY c DESC, g LIMIT 4096
+),
 tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM model),
 j AS (
     SELECT tri.doc_id, CAST(COALESCE(model.c, 0.5) AS DOUBLE) AS c, tot.tot
@@ -2145,12 +2149,17 @@ def x3_ngram_lm_score(spark, sf_dir):
     filter): a char-trigram unigram LM is trained on the in-corpus English
     slice, then every document is scored by its mean trigram
     log-probability (unseen trigrams floored at count 0.5).  Scale shape:
-    the model is a bounded-vocabulary aggregate (<= charset^3 rows) that
-    BROADCASTS to the scoring join, trigram expansion is a map-side
+    the model vocabulary is CAPPED at the top-4096 trigrams by count
+    (deterministic count-desc/gram-asc tiebreak, one TakeOrderedAndProject)
+    so the broadcast build side is provably bounded at ANY corpus size —
+    charset^3 is fine for ASCII but unbounded on a multilingual (CJK)
+    100-TB corpus; out-of-vocabulary trigrams take the unseen floor, which
+    is exactly the LM semantics.  Trigram expansion is a map-side
     ``transform(sequence(...))`` (one pass, no per-row Python), and the
     only data-sized shuffles are the model groupBy and the per-doc score
     groupBy.  Scores rounded to 6 dp on both sides: libm vs JVM ``ln`` and
     summation order differ below 1e-12, far inside the rounding guard."""
+    vocab_cap = 4096
     t = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower("text").alias("s")
     )
@@ -2161,8 +2170,12 @@ def x3_ngram_lm_score(spark, sf_dir):
             F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
         ).alias("g"),
     )
-    model = tri.filter(F.col("lang") == "en").groupBy("g").agg(
-        F.count(F.lit(1)).alias("c")
+    model = (
+        tri.filter(F.col("lang") == "en")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g"))
+        .limit(vocab_cap)
     )
     tot = model.agg(F.sum("c").cast("double").alias("tot"))
     return (
@@ -3605,6 +3618,10 @@ def x2_lsh_portable(spark, sf_dir):
     )
 
 
+#: last invocation's cached survivors relation (see x9_curation_v2)
+_CURATION_V2_CACHE: list = []
+
+
 @query(
     "x9_curation_v2",
     oracle=r"""
@@ -3683,8 +3700,14 @@ def x9_curation_v2(spark, sf_dir):
     # column pruning, defeating exchange reuse — persist the (deduplicated,
     # 2-column) relation so the fingerprint shuffle runs ONCE.  Same call a
     # production pipeline makes before fanning a curated corpus into
-    # multiple consumers.
+    # multiple consumers.  The cache must outlive this function (the caller
+    # materializes the returned plan), so release the PREVIOUS invocation's
+    # cache instead — long-lived sessions (bench/verify warm each query
+    # several times) hold at most one curation cache, not one per call.
+    while _CURATION_V2_CACHE:
+        _CURATION_V2_CACHE.pop().unpersist()
     survivors = survivors.persist()
+    _CURATION_V2_CACHE.append(survivors)
     mixed = sampling.domain_mixture(survivors, "lang", alpha=0.5)
     split = sampling.hash_split(
         mixed.select("doc_id", "domain", "n_repeats"), "doc_id"
@@ -3748,3 +3771,69 @@ def x12_column_profile(spark, sf_dir):
         F.col("_rows").alias("n_rows"),
     )
     return stacked
+
+
+#: temp dirs of the previous x5_stream_curation_replay invocation — freed on
+#: the next call so long-lived sessions don't accumulate sink/checkpoint dirs
+_STREAM_REPLAY_DIRS: list = []
+
+
+@query(
+    "x5_stream_curation_replay",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id, text, lang,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+),
+r AS (
+    SELECT text, lang,
+           round(0.4 * (len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+                        / len(toks)::DOUBLE)
+                 + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+                 + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 6) AS q
+    FROM t
+)
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       lang
+FROM r
+WHERE q >= 0.3 AND lang = 'en'
+""",
+)
+def x5_stream_curation_replay(spark, sf_dir):
+    """X5 streaming witness that actually RUNS the writeStream path: the
+    document-curation stream (streaming/docs_stream.py — quality gate ->
+    language gate -> stateful fingerprint dedup) replayed over the fixture
+    corpus with ``trigger(availableNow=True)`` into a checkpointed parquet
+    sink, then the sink read back.  availableNow drains the source and
+    stops, so the result is the stream's exact batch-equivalent output —
+    the replay-parity property tests/test_streaming.py pins, here surfaced
+    to the driver's DuckDB oracle.  Output is projected to the
+    (fingerprint, lang) pairs, which are invariant to WHICH duplicate the
+    stateful dedup keeps (doc_id would be arrival-order-dependent); lang is
+    constant 'en' by the gate, fingerprints are unique by the dedup.
+
+    Scale: the streaming state is one md5 per unique doc (see module
+    docstring); the sink is append-only parquet — the same shape that runs
+    continuously on a real bucket listing."""
+    import shutil
+    import tempfile
+
+    from .streaming import docs_stream
+
+    while _STREAM_REPLAY_DIRS:
+        shutil.rmtree(_STREAM_REPLAY_DIRS.pop(), ignore_errors=True)
+    dest = tempfile.mkdtemp(prefix="stream_replay_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_replay_ckpt_")
+    srcdir = tempfile.mkdtemp(prefix="stream_replay_src_")
+    _STREAM_REPLAY_DIRS.extend([dest, ckpt, srcdir])
+    # the file stream source lists a DIRECTORY (arrival simulation); stage
+    # the fixture file into one
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{srcdir}/documents.parquet")
+
+    src = docs_stream.read_documents_stream(spark, srcdir)
+    q = docs_stream.run_curation_to_parquet(src, dest, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(dest).select("fingerprint", "lang")
