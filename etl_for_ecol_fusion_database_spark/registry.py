@@ -995,25 +995,75 @@ def x3_profile_lineitem(spark, sf_dir):
     )
 
 
-@query("x3_profile_sketch")  # approximate (HLL / KLL sketches) -> rows-only
+@query(
+    "x3_profile_sketch",
+    oracle="""
+WITH m AS (
+    SELECT 'approx_distinct_orders' AS metric,
+           round(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE), 6) AS exact_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'approx_distinct_parts',
+           round(CAST(COUNT(DISTINCT l_partkey) AS DOUBLE), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'median_quantity',
+           round(CAST(percentile_cont(0.5) WITHIN GROUP
+                      (ORDER BY CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'median_price',
+           round(CAST(percentile_cont(0.5) WITHIN GROUP
+                      (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS DOUBLE), 6)
+    FROM lineitem
+)
+SELECT metric, exact_value, TRUE AS within_tolerance FROM m
+""",
+)
 def x3_profile_sketch(spark, sf_dir):
-    """Sketch-based profiling: approx_count_distinct (HyperLogLog++) and
+    """Sketch-accuracy report: approx_count_distinct (HyperLogLog++) and
     approx_percentile — constant memory per column at any scale, the form
-    that survives 100 TB where exact distinct cannot.  Accuracy vs the exact
-    profile asserted in tests/test_parity.py::test_sketch_accuracy.
-    Quantiles are emitted as scalar columns (not an array) so the driver's
-    pandas canonicalizer can sort/hash the row."""
+    that survives 100 TB where exact distinct cannot — each compared against
+    the exact statistic computed in the SAME single-pass aggregate, emitted
+    as (metric, exact_value, within_tolerance) rows.  The sketch values
+    themselves are implementation-defined (not portable), but the exact
+    values ARE oracle-reproducible and the tolerance booleans assert the
+    sketches' error bounds (HLL rsd=0.02 → 10% guard; KLL accuracy=10000 →
+    5% relative guard), so the driver's hash check witnesses both the exact
+    statistics and the sketch accuracy.  Exact `percentile` matches DuckDB's
+    percentile_cont (same (n-1)p linear interpolation)."""
     l = _t(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_quantity", [0.5, 0.95, 0.99], 10000)
-    return l.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        q.getItem(0).cast("double").alias("qty_q50"),
-        q.getItem(1).cast("double").alias("qty_q95"),
-        q.getItem(2).cast("double").alias("qty_q99"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000)
+    agg = l.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("orders_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).cast("double").alias("orders_approx"),
+        F.countDistinct("l_partkey").cast("double").alias("parts_exact"),
+        F.approx_count_distinct("l_partkey", 0.02).cast("double").alias("parts_approx"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias("qty_exact"),
+        F.percentile_approx(F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(10000))
         .cast("double")
-        .alias("median_price"),
+        .alias("qty_approx"),
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("price_exact"),
+        F.percentile_approx(
+            F.col("l_extendedprice").cast("double"), F.lit(0.5), F.lit(10000)
+        )
+        .cast("double")
+        .alias("price_approx"),
+    )
+    unpivoted = agg.select(
+        F.expr(
+            "stack(4, "
+            "'approx_distinct_orders', orders_exact, orders_approx, 0.10D, "
+            "'approx_distinct_parts', parts_exact, parts_approx, 0.10D, "
+            "'median_quantity', qty_exact, qty_approx, 0.05D, "
+            "'median_price', price_exact, price_approx, 0.05D"
+            ") AS (metric, exact_v, approx_v, tol)"
+        )
+    )
+    return unpivoted.select(
+        "metric",
+        F.round("exact_v", 6).alias("exact_value"),
+        (F.abs(F.col("approx_v") - F.col("exact_v")) <= F.col("tol") * F.abs("exact_v"))
+        .alias("within_tolerance"),
     )
 
 

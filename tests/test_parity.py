@@ -39,15 +39,29 @@ def test_rows_only_results_driver_canonicalizable(spark, sf_dir, name):
 
 
 def test_sketch_accuracy(spark, sf_dir):
-    """HLL/quantile sketches must land within their configured error of the
-    exact profile."""
+    """The sketch-accuracy report (round-4 shape: one row per metric with
+    the exact value and a tolerance boolean): every sketch must land within
+    its configured error, and the exact values must agree with the exact
+    profile query."""
     exact = registry.QUERIES["x3_profile_lineitem"](spark, sf_dir).collect()[0]
-    approx = registry.QUERIES["x3_profile_sketch"](spark, sf_dir).collect()[0]
-    assert abs(approx.approx_orders - exact.n_orders) / exact.n_orders < 0.05
-    assert abs(approx.approx_parts - exact.n_parts) / exact.n_parts < 0.05
-    quantiles = [approx.qty_q50, approx.qty_q95, approx.qty_q99]
-    assert float(exact.min_qty) <= quantiles[0] <= float(exact.max_qty)
-    assert quantiles == sorted(quantiles)
+    report = {
+        r.metric: r
+        for r in registry.QUERIES["x3_profile_sketch"](spark, sf_dir).collect()
+    }
+    assert set(report) == {
+        "approx_distinct_orders",
+        "approx_distinct_parts",
+        "median_quantity",
+        "median_price",
+    }
+    assert all(r.within_tolerance for r in report.values())
+    assert report["approx_distinct_orders"].exact_value == exact.n_orders
+    assert report["approx_distinct_parts"].exact_value == exact.n_parts
+    assert (
+        float(exact.min_qty)
+        <= report["median_quantity"].exact_value
+        <= float(exact.max_qty)
+    )
 
 
 def test_entry_smoke(spark):
