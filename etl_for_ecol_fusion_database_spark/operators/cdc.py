@@ -69,10 +69,10 @@ def snapshot_diff(
     o = old.select(key, *compare_cols).alias("o")
     n = new.select(key, *compare_cols).alias("n")
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    changed = None
+    # empty compare_cols = key-existence-only diff: only I/D rows can emit
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     ctype = (
         F.when(F.col(f"o.{key}").isNull(), F.lit("I"))
         .when(F.col(f"n.{key}").isNull(), F.lit("D"))

@@ -575,6 +575,16 @@ def simhash_near_pairs_portable(
     keeps the pigeonhole guarantee: any qualifying pair agrees exactly on
     at least one block.  Same aggregation/join shape as the 63-bit
     xxhash64 fast path, which stays the production configuration."""
+    # the 4x8-bit pigeonhole block math below is specific to these values:
+    # >3 differing bits could avoid every block (silently dropping pairs),
+    # and a non-32-bit fingerprint breaks the block extraction
+    if n_bits != 32:
+        raise ValueError(f"portable SimHash requires n_bits=32, got {n_bits}")
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block pigeonhole only guarantees completeness for "
+            f"max_hamming<=3, got {max_hamming}"
+        )
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), r"\s+")
     pairs = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t")).withColumn(
         "h", F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long")
@@ -736,18 +746,33 @@ def dedup_survivors(
     policy production dedup usually wants, because trafficked near-copies
     are truncations of the fullest original.
 
-    One hash-partitioned aggregation (``max_by`` over a struct — lexical
-    struct comparison gives the tiebreak for free); no window, no second
-    scan.  Map-side partial max_by collapses duplicates before the
-    shuffle, so a pathological 10M-copy group costs its reducer one row
-    per upstream partition."""
+    Numeric ids take one hash-partitioned aggregation (``max_by`` over a
+    struct with an arithmetic-negation tiebreak — lexical struct comparison
+    gives min-id-on-ties for free); non-numeric ids (negation would raise)
+    take a two-level aggregate: pre-collapse to one min-id row per
+    (group, prefer-value) — which absorbs all tie handling — then one
+    ``max_by`` per group.  Both shapes are window-free with map-side
+    partial aggregation, so a pathological 10M-copy group costs its
+    reducer one row per upstream partition."""
+    from pyspark.sql.types import NumericType
+
     if prefer_col is None:
-        keep = F.min(id_col).alias("keep_id")
-    else:
-        keep = F.max_by(
-            id_col, F.struct(F.col(prefer_col), (-F.col(id_col)).alias("_tie"))
-        ).alias("keep_id")
-    aggs = [keep, F.count(F.lit(1)).alias("n_copies")]
-    if prefer_col is not None:
-        aggs.append(F.max(prefer_col).alias(f"max_{prefer_col}"))
-    return df.groupBy(*key_cols).agg(*aggs)
+        return df.groupBy(*key_cols).agg(
+            F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+        )
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        return df.groupBy(*key_cols).agg(
+            F.max_by(
+                id_col, F.struct(F.col(prefer_col), (-F.col(id_col)).alias("_tie"))
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max(prefer_col).alias(f"max_{prefer_col}"),
+        )
+    lvl1 = df.groupBy(*key_cols, prefer_col).agg(
+        F.min(id_col).alias("_min_id"), F.count(F.lit(1)).alias("_c")
+    )
+    return lvl1.groupBy(*key_cols).agg(
+        F.max_by("_min_id", F.col(prefer_col)).alias("keep_id"),
+        F.sum("_c").cast("long").alias("n_copies"),
+        F.max(prefer_col).alias(f"max_{prefer_col}"),
+    )

@@ -46,13 +46,18 @@ def referential_check(
     on: list[str],
     *,
     name: str,
+    broadcast_parent: bool = True,
 ) -> DataFrame:
     """Orphan-row count: child rows whose key has no parent (left-anti
-    join, broadcast the parent keys when dimension-sized).  Output schema
+    join).  Pass ``broadcast_parent=False`` when the parent is fact-sized —
+    the default broadcast hint is only safe for dimension tables (a forced
+    broadcast of a large parent would OOM executors); without the hint the
+    anti-join falls back to a shuffled hash join on the key.  Output schema
     matches ``column_expectations`` so reports union."""
-    orphans = child.join(
-        F.broadcast(parent.select(*on).dropDuplicates()), on=on, how="left_anti"
-    )
+    parent_keys = parent.select(*on).dropDuplicates()
+    if broadcast_parent:
+        parent_keys = F.broadcast(parent_keys)
+    orphans = child.join(parent_keys, on=on, how="left_anti")
     n_child = child.count()
     return orphans.agg(
         F.lit(name).alias("check_name"),
