@@ -177,3 +177,78 @@ def test_domain_mixture_rates_and_mass(spark, sf_dir):
     for r in per_dom:
         assert abs(r.realized - r.n * r.rate) <= max(2, 0.05 * r.n * r.rate), r
     mix.unpersist()
+
+
+def test_aqe_skew_join_splits_flagship_shape(spark):
+    """The flagship's 100x-scale pressure point is its ONE big shuffle: the
+    status-history self-join on collision_id (plans/valid_collisions.py
+    status_on_cutoff).  A hot collision (bot-generated events, replayed
+    feeds) floods a single reducer unless AQE's skew-join splitting engages.
+    This witnesses exactly that: a skewed fixture joined with the flagship's
+    equi+range shape must show `skew=true` in the FINAL adaptive plan —
+    i.e. the hot partition was split at runtime, per-reducer work bounded.
+
+    Thresholds are lowered to make the megabyte-scale fixture exhibit what
+    a 100-TB hot key exhibits under the production defaults; the session
+    conf (session.SCALE_CONF) already enables skewJoin there."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8192")
+        # force a shuffled join: the point is reducer-side skew, which a
+        # broadcast of the small dim would simply hide
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        pad = F.lpad(F.lit("x"), 96, "x")
+        hot = spark.range(60_000).select(
+            F.lit(1).cast("long").alias("collision_id"),
+            (F.col("id") % 1000).cast("int").alias("coll_status_type_id"),
+            F.to_timestamp(F.lit("2020-06-15 12:00:00")).alias("effective_date"),
+            pad.alias("payload"),
+        )
+        cold = spark.range(20_000).select(
+            (F.col("id") % 1000 + 2).cast("long").alias("collision_id"),
+            (F.col("id") % 7).cast("int").alias("coll_status_type_id"),
+            F.to_timestamp(F.lit("2020-03-01 08:00:00")).alias("effective_date"),
+            pad.alias("payload"),
+        )
+        history = hot.unionByName(cold)
+        cutoff = spark.range(1, 1002).select(
+            F.col("id").cast("long").alias("collision_id"),
+            F.to_date(F.lit("2021-04-01")).alias("cutoff_end_date"),
+        )
+        joined = history.join(cutoff, "collision_id", "inner").filter(
+            F.col("effective_date").cast("date") <= F.col("cutoff_end_date")
+        )
+        # collect() (not count()) so THIS DataFrame's QueryExecution is the
+        # one that runs — count() wraps a new plan whose adaptive state we
+        # could not inspect afterwards
+        n = len(joined.collect())
+        assert n == 80_000  # hot key (60k) + every cold key present in dim
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed partition:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
