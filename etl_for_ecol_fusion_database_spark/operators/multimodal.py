@@ -61,13 +61,50 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> object:
-    """REAL decode path — requires an image codec (PIL/opencv), which this
-    container does not ship.  Kept as the documented extension point."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this environment. "
-        "Swap decode_image_fake -> a real decoder when codecs are installed."
-    )
+try:  # optional dependency: real image codec
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # container ships no codecs — fake path stays primary
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """REAL decode path, active when Pillow is importable: decode the image
+    bytes and return ``{width, height, mode, feature}`` where ``feature`` is
+    an 8-dim strided mean over the raw pixel bytes (the same shape the fake
+    decoder emits, so downstream schema is identical).  Raises
+    NotImplementedError when no codec is installed — callers that need a
+    never-fails path use ``decode_media_real`` (per-row fake fallback)."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not available in this "
+            "environment. decode_media_real falls back to the fake decoder."
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    px = img.tobytes()
+    dim = 8
+    n = len(px)
+    feature = [
+        round(
+            (sum(px[i] for i in range(d, n, dim)) / max(1, len(range(d, n, dim))))
+            / 255.0,
+            6,
+        )
+        if n > d
+        else 0.0
+        for d in range(dim)
+    ]
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "feature": feature,
+    }
 
 
 def _fake_feature_sig(buf: bytes, dim: int = 8) -> list[int]:
@@ -112,6 +149,67 @@ def decode_media(df: DataFrame) -> DataFrame:
     stay whole."""
     return df.select("doc_id", "media_bytes").mapInPandas(
         decode_media_batch, schema=DECODED_SCHEMA
+    )
+
+
+#: output schema of the real-or-fallback decoder
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_media_real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode that PREFERS the real codec: per row, try
+    Pillow; on any failure (no codec installed, or bytes that are not a
+    decodable image — e.g. this repo's utf-8 fixture payloads) fall back to
+    the deterministic fake feature with NULL dimensions and decoded=false.
+    Same Iterator[pd.DataFrame] shape as ``decode_media_batch``."""
+    for pdf in batches:
+        rows = {
+            "doc_id": [],
+            "n_bytes": [],
+            "width": [],
+            "height": [],
+            "decoded": [],
+            "feature": [],
+        }
+        for doc_id, buf in zip(pdf["doc_id"], pdf["media_bytes"]):
+            buf = buf or b""
+            rows["doc_id"].append(doc_id)
+            rows["n_bytes"].append(len(buf))
+            real = None
+            if HAS_PIL:
+                try:
+                    real = decode_image_real(buf)
+                except Exception:  # undecodable payload -> fake fallback
+                    real = None
+            if real is not None:
+                rows["width"].append(real["width"])
+                rows["height"].append(real["height"])
+                rows["decoded"].append(True)
+                rows["feature"].append(real["feature"])
+            else:
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["decoded"].append(False)
+                rows["feature"].append(_fake_feature(buf))
+        yield pd.DataFrame(rows)
+
+
+def decode_media_real(df: DataFrame) -> DataFrame:
+    """Run the real-when-available decoder over the media table via
+    mapInPandas — the production entry point once codecs are installed; in
+    codec-less environments every row takes the documented fake fallback
+    (decoded=false), so the pipeline shape is identical either way."""
+    return df.select("doc_id", "media_bytes").mapInPandas(
+        decode_media_real_batch, schema=REAL_DECODED_SCHEMA
     )
 
 
