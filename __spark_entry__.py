@@ -49,7 +49,10 @@ _WITNESSED_R01_R03 = frozenset({
     "x2_cosine_topk", "x2_embedding_norms", "x2_ivf_ann", "x2_ivf_full_probe",
     "x2_lsh_bucketed_ann", "x3_fingerprint", "x3_fingerprint_portable",
     "x3_fingerprint_rolling", "x3_lang_id", "x3_length_histogram",
-    "x3_profile_lineitem", "x3_profile_sketch", "x3_text_quality",
+    # x3_profile_sketch deliberately absent: its only driver row was a
+    # rows-only "no_oracle" — round 4 gave it a real oracle, so it re-enters
+    # the unwitnessed block to earn a hash-checked row
+    "x3_profile_lineitem", "x3_text_quality",
     "x3_token_counts", "x3_vocab_topk", "x4_binary_meta", "x4_json_props",
     "x4_media_decode", "x4_media_meta_summary", "x5_session_windows",
     "x5_tumbling_hourly",
@@ -69,6 +72,9 @@ def _rotated_names() -> list[str]:
         # sample window this round
         "x9_curation_v2", "x12_data_quality", "x3_bm25_topk",
         "x8_kmeans_assign",
+        # round-4 streaming witness: the one entry whose Spark side runs the
+        # actual writeStream path (VERDICT round-3 item #8)
+        "x5_stream_curation_replay",
     ]
     names = list(registry.QUERIES)
     unseen = [
