@@ -3452,16 +3452,15 @@ WITH chars AS (
 freq AS (
     SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
     FROM chars GROUP BY doc_id, ch
-),
-tot AS (
-    SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS total FROM freq GROUP BY doc_id
 )
-SELECT f.doc_id,
-       CAST(tot.total AS BIGINT) AS n_chars,
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_chars,
        CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
-       round(-SUM((f.n / tot.total) * ln(f.n / tot.total)), 6) AS entropy
-FROM freq f JOIN tot USING (doc_id)
-GROUP BY f.doc_id, tot.total
+       round(ln(CAST(SUM(n) AS DOUBLE))
+             - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+               / CAST(SUM(n) AS DOUBLE), 6) AS entropy
+FROM freq
+GROUP BY doc_id
 """,
 )
 def x3_char_entropy(spark, sf_dir):
@@ -3472,9 +3471,12 @@ def x3_char_entropy(spark, sf_dir):
 
     Shuffle shape: the (doc, char) aggregation's map-side combine caps the
     shuffle at |alphabet| rows per doc per partition (~100, not text
-    length), and the second per-doc aggregation reuses the doc_id-prefixed
-    partitioning.  Float entropy is one rounded SUM of <= |alphabet|
-    scalar terms — engine-portable under the 6-dp guard."""
+    length); the per-doc reduction uses the algebraic identity
+    H = ln(T) - (sum n*ln n)/T — plain sums, so it is a second hash
+    aggregate with NO window and NO sort (the round-3 version computed T
+    via a doc_id window, adding a sort pass the identity makes
+    unnecessary).  The oracle mirrors the same expression, so the 6-dp
+    rounding guard covers only summation-order noise."""
     chars = (
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
@@ -3485,25 +3487,19 @@ def x3_char_entropy(spark, sf_dir):
             ).alias("ch"),
         )
     )
-    from pyspark.sql.window import Window
-
     freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
-    p = F.col("n").cast("double") / F.col("total")
-    return (
-        freq.withColumn(
-            "total", F.sum("n").over(Window.partitionBy("doc_id")).cast("double")
-        )
-        .groupBy("doc_id", "total")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct_chars"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-        )
-        .select(
-            "doc_id",
-            F.col("total").cast("long").alias("n_chars"),
-            "n_distinct_chars",
-            "entropy",
-        )
+    nd = F.col("n").cast("double")
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(nd * F.log(nd)).alias("_s"),
+    )
+    total = F.col("n_chars").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(F.log(total) - F.col("_s") / total, 6).alias("entropy"),
     )
 
 
@@ -3837,3 +3833,182 @@ def x5_stream_curation_replay(spark, sf_dir):
     q = docs_stream.run_curation_to_parquet(src, dest, ckpt)
     q.awaitTermination()
     return spark.read.parquet(dest).select("fingerprint", "lang")
+
+
+@query(
+    "x2_pq_encode",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4
+),
+sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+d AS (
+    SELECT e.vec_id, sub.j, cent.c_id,
+           list_sum([(e.v[sub.j*16 + i] - cent.cv[sub.j*16 + i])
+                     * (e.v[sub.j*16 + i] - cent.cv[sub.j*16 + i])
+                     for i in generate_series(1, 16)]) AS dist
+    FROM e CROSS JOIN sub CROSS JOIN cent
+),
+ranked AS (
+    SELECT vec_id, j, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c_id ASC) AS rn
+    FROM d
+)
+SELECT vec_id, CAST(j AS INT) AS subspace, CAST(c_id AS INT) AS code
+FROM ranked WHERE rn = 1
+""",
+)
+def x2_pq_encode(spark, sf_dir):
+    """X2 product-quantization encoding (operators/clustering.pq_encode):
+    each 64-dim embedding split into 4x16-dim subvectors, each assigned to
+    its nearest codeword — the PQ compression step of IVF-PQ ANN, which is
+    how a 100-TB embedding corpus serves from memory (m codes/vector
+    instead of dim floats).  Codebooks here are the pinned first-4-vector
+    subvectors (the deterministic seeding x8_kmeans_assign uses; a real
+    deployment trains them with kmeans_fit per subspace).  Same
+    bit-identical left-to-right double fold as the k-means assignment, so
+    the encoding is fully oracle-checked.  Plan: one corpus scan, codebook
+    literals broadcast, a plan-level union over subspaces — zero
+    shuffles."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codebooks = [[s[j * 16 : (j + 1) * 16] for s in seeds] for j in range(4)]
+    return clustering.pq_encode(emb, "vec_id", "v", codebooks, sub_dim=16).select(
+        F.col("id").alias("vec_id"), "subspace", "code"
+    )
+
+
+@query(
+    "x3_zipf_slope",
+    oracle=r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE token != '' GROUP BY token
+),
+top AS (
+    SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1000
+),
+ranked AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM top
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+           AS zipf_slope
+FROM ranked
+""",
+)
+def x3_zipf_slope(spark, sf_dir):
+    """X3 Zipf-slope corpus statistic: log-log regression of term frequency
+    against frequency rank over the top-1000 vocabulary head — natural
+    corpora fit slope ~ -1; a far-off slope flags synthetic/templated or
+    boilerplate-heavy data before it poisons a training mix.  Scale shape:
+    the vocabulary aggregation is the only data-sized shuffle; the head is
+    a TakeOrderedAndProject (top-1000), so the ranking window runs over a
+    BOUNDED 1000-row single partition (allowlisted in the plan lint) and
+    regr_slope reduces it to one row."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    r"\s+",
+                )
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(1000)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token"))),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 6
+        ).alias("zipf_slope"),
+    )
+
+
+@query(
+    "x12_drift_psi",
+    oracle="""
+WITH binned AS (
+    SELECT CAST(least(floor(CAST(o_totalprice AS DOUBLE) / 50000.0), 9) AS INT)
+               AS bin,
+           CASE WHEN EXTRACT(YEAR FROM o_orderdate) < 1996 THEN 1 ELSE 0 END
+               AS is_ref
+    FROM orders
+),
+per_bin AS (
+    SELECT bin,
+           CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref, CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+    FROM per_bin
+)
+SELECT b.bin, b.n_ref, b.n_cur,
+       round((CAST(b.n_cur + 1 AS DOUBLE) / (t.t_cur + 10)
+              - CAST(b.n_ref + 1 AS DOUBLE) / (t.t_ref + 10))
+             * ln((CAST(b.n_cur + 1 AS DOUBLE) / (t.t_cur + 10))
+                  / (CAST(b.n_ref + 1 AS DOUBLE) / (t.t_ref + 10))), 6)
+           AS psi_term
+FROM per_bin b CROSS JOIN tot t
+""",
+)
+def x12_drift_psi(spark, sf_dir):
+    """X12 population-stability-index drift report: the distribution of
+    order value before/after a time boundary, binned into fixed 50k-wide
+    buckets, with the per-bin PSI contribution (Laplace-smoothed so empty
+    bins stay finite) — the monitoring primitive that catches a training
+    corpus drifting between snapshots before a model does.  Scale shape:
+    ONE conditional-aggregation scan to 10 bins (map-side combine), bin
+    totals re-aggregated from those 10 rows and broadcast back via a
+    1-row cross join; total PSI is the SUM over psi_term downstream."""
+    binned = _t(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice").cast("double") / 50000.0), F.lit(9)
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.year("o_orderdate") < 1996, 1).otherwise(0).alias("is_ref"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10)
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
