@@ -1033,11 +1033,18 @@ def x3_profile_sketch(spark, sf_dir):
     statistics and the sketch accuracy.  Exact `percentile` matches DuckDB's
     percentile_cont (same (n-1)p linear interpolation)."""
     l = _t(spark, sf_dir, "lineitem")
-    agg = l.agg(
+    # distinct counts and percentiles in SEPARATE aggregates: the two
+    # count-distincts plan through an Expand (3x row multiplication) and
+    # dragging the percentile buffers through that expand tripled their
+    # work (28s at sf0.1 in one agg; ~3s split).  Two 1-row results
+    # recombine with a broadcast cross join.
+    cards = l.agg(
         F.countDistinct("l_orderkey").cast("double").alias("orders_exact"),
         F.approx_count_distinct("l_orderkey", 0.02).cast("double").alias("orders_approx"),
         F.countDistinct("l_partkey").cast("double").alias("parts_exact"),
         F.approx_count_distinct("l_partkey", 0.02).cast("double").alias("parts_approx"),
+    )
+    pcts = l.agg(
         F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)").alias("qty_exact"),
         F.percentile_approx(F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(10000))
         .cast("double")
@@ -1049,6 +1056,7 @@ def x3_profile_sketch(spark, sf_dir):
         .cast("double")
         .alias("price_approx"),
     )
+    agg = cards.crossJoin(F.broadcast(pcts))
     unpivoted = agg.select(
         F.expr(
             "stack(4, "
