@@ -106,6 +106,13 @@ HEADLINE = [
     "x2_lsh_portable",
     "x9_curation_v2",
     "x12_column_profile",
+    # round 4: streaming replay witness, re-oracled sketch accuracy report,
+    # PQ encoding, corpus statistics, drift monitoring
+    "x5_stream_curation_replay",
+    "x3_profile_sketch",
+    "x2_pq_encode",
+    "x3_zipf_slope",
+    "x12_drift_psi",
 ]
 
 

@@ -98,3 +98,41 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"), F.min("id").alias("min_id")
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    *,
+    sub_dim: int,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``len(codebooks)`` contiguous ``sub_dim``-wide subvectors and assign
+    each to its nearest codeword (argmin squared-L2, ties to the lowest
+    code) — the compression step that lets a 100-TB embedding corpus live
+    in memory as m bytes/vector for IVF-PQ-style ANN serving.
+
+    ``codebooks[j]`` is the list of codewords for subspace ``j``.  Output
+    is long-form ``(id, subspace, code)``.  The plan is a UNION of one
+    narrow ``assign_clusters`` projection per subspace: codewords enter as
+    broadcast literals, vectors never shuffle, and the union is plan-level
+    only (no exchange), so encoding cost is one scan of the corpus."""
+    parts = []
+    for j, codebook in enumerate(codebooks):
+        sub = df.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias("v"),
+        )
+        parts.append(
+            assign_clusters(sub, "v", codebook).select(
+                "id",
+                F.lit(j).cast("int").alias("subspace"),
+                F.col("cluster").alias("code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

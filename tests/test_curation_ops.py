@@ -492,3 +492,47 @@ def test_decode_media_real_fallback(spark, sf_dir):
         assert r.width is None and r.height is None
         assert r.feature == fake[doc_id].feature
         assert r.n_bytes == fake[doc_id].n_bytes
+
+
+def test_pq_encode_seed_vectors_self_assign(spark, sf_dir):
+    """PQ invariants: codewords encode to themselves (distance 0 to their
+    own subvector), every (vector, subspace) gets exactly one code, and
+    codes stay inside the codebook."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(100)
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codebooks = [[s[j * 16 : (j + 1) * 16] for s in seeds] for j in range(4)]
+    codes = clustering.pq_encode(emb, "vec_id", "v", codebooks, sub_dim=16).collect()
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * 4
+    assert {(r.id, r.subspace) for r in codes} == {
+        (r.vec_id, j) for r in emb.select("vec_id").collect() for j in range(4)
+    }
+    assert all(0 <= r.code < 4 for r in codes)
+    for r in codes:
+        if r.id < 4:
+            assert r.code == r.id, f"seed {r.id} subspace {r.subspace} -> {r.code}"
+
+
+def test_zipf_and_psi_signals(spark, sf_dir):
+    """Corpus-statistic sanity: the Zipf fit over a natural-ish corpus has
+    a negative slope; PSI terms are non-negative by construction (same-sign
+    product) and cover every populated bin."""
+    from etl_for_ecol_fusion_database_spark import registry
+
+    z = registry.QUERIES["x3_zipf_slope"](spark, sf_dir).collect()[0]
+    assert z.n_terms > 10  # smoke fixture vocab is small; head cap is 1000
+    assert z.zipf_slope < 0
+
+    rows = registry.QUERIES["x12_drift_psi"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    assert all(r.psi_term >= 0 for r in rows)
+    assert len({r.bin for r in rows}) == len(rows)
