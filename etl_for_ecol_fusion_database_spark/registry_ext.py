@@ -3985,9 +3985,14 @@ def x12_drift_psi(spark, sf_dir):
     buckets, with the per-bin PSI contribution (Laplace-smoothed so empty
     bins stay finite) — the monitoring primitive that catches a training
     corpus drifting between snapshots before a model does.  Scale shape:
-    ONE conditional-aggregation scan to 10 bins (map-side combine), bin
-    totals re-aggregated from those 10 rows and broadcast back via a
-    1-row cross join; total PSI is the SUM over psi_term downstream."""
+    ONE conditional-aggregation scan to 10 bins (map-side combine); bin
+    totals come from a global window over the ALREADY-AGGREGATED 10-row
+    relation (bounded by the bin count at any data size, allowlisted in
+    the plan lint) — a second aggregate would re-plan the subtree and
+    re-scan the fact table; total PSI is the SUM over psi_term
+    downstream."""
+    from pyspark.sql.window import Window
+
     binned = _t(spark, sf_dir, "orders").select(
         F.least(
             F.floor(F.col("o_totalprice").cast("double") / 50000.0), F.lit(9)
@@ -4000,15 +4005,110 @@ def x12_drift_psi(spark, sf_dir):
         F.sum("is_ref").cast("long").alias("n_ref"),
         F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
     )
-    tot = per_bin.agg(
-        F.sum("n_ref").cast("double").alias("t_ref"),
-        F.sum("n_cur").cast("double").alias("t_cur"),
+    w = Window.partitionBy()
+    tot = per_bin.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(w).cast("double").alias("t_ref"),
+        F.sum("n_cur").over(w).cast("double").alias("t_cur"),
     )
     p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + 10)
     p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + 10)
-    return per_bin.crossJoin(F.broadcast(tot)).select(
+    return tot.select(
         "bin",
         "n_ref",
         "n_cur",
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+#: temp dirs of the previous s18_jsonl_roundtrip invocation
+_JSONL_DIRS: list = []
+
+
+@query(
+    "s18_jsonl_roundtrip",
+    oracle="""
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+""",
+)
+def s18_jsonl_roundtrip(spark, sf_dir):
+    """S-surface format-fidelity witness: the documents relation written to
+    JSON-lines and read back through Spark's JSON source with an explicit
+    schema — unicode escaping, embedded newlines and quoting must survive
+    the round trip bit-for-bit (the oracle reads the ORIGINAL parquet, so
+    any mangling hash-mismatches).  JSONL is the interchange format most
+    LLM-corpus tooling speaks; at scale the same two calls target an object
+    store and the write is one narrow pass (no shuffle), partition-parallel
+    on both sides."""
+    import shutil
+    import tempfile
+
+    while _JSONL_DIRS:
+        shutil.rmtree(_JSONL_DIRS.pop(), ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    _JSONL_DIRS.append(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.write.mode("overwrite").json(out)
+    schema = "doc_id long, text string, lang string"
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+@query(
+    "x3_readability",
+    oracle=r"""
+WITH t AS (
+    SELECT doc_id,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS n_words,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syllables
+    FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           AS flesch
+FROM t
+""",
+)
+def x3_readability(spark, sf_dir):
+    """X3 Flesch reading-ease score from regex counts (sentences = [.!?]
+    runs, words = whitespace tokens, syllables ~ vowel groups) — the
+    classic readability gate a curation mix applies per audience tier;
+    pure narrow projections, no shuffle at all.  All three counts floored
+    at 1 so degenerate strings stay finite; identical regexes on the
+    oracle side make the score fully hash-checked."""
+    t = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    n_words = F.greatest(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+        ),
+        F.lit(1),
+    )
+    return t.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+            6,
+        ).alias("flesch"),
     )

@@ -37,7 +37,6 @@ BNLJ_OK = {
     "x3_bm25_topk": "1-row corpus-stats relation (n_docs, avgdl) crossed into the query-term tf rows",
     "x2_hybrid_rrf": "composes bm25_scores (same 1-row stats cross) for the sparse side",
     "x9_curation_v2": "composes domain_mixture (same 1-row normalization-total cross)",
-    "x12_drift_psi": "1-row bin-totals relation crossed into the 10-row per-bin table",
     "x3_profile_sketch": "two 1-row aggregate results (cardinalities x percentiles) cross-joined",
 }
 
@@ -52,6 +51,7 @@ GLOBAL_WINDOW_OK = {
     "q17_small_qty_revenue": "per-part avg window over the aggregated part set",
     "x2_hybrid_rrf": "rank window over a post-top-k relation (<= 50 rows by construction)",
     "x3_zipf_slope": "rank window over the top-1000 vocabulary head (bounded by the preceding limit)",
+    "x12_drift_psi": "bin-totals window over the 10-row post-aggregation bin table",
 }
 
 

@@ -306,3 +306,52 @@ def test_zorder_assignment_is_narrow(spark, sf_dir):
     kind in the plan."""
     plan = _final_plan(registry.QUERIES["x9_zorder_layout"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """PQ encoding must be one scan wide: codebooks are literals, the
+    per-subspace assignments union at plan level — NO exchange anywhere."""
+    plan = _final_plan(registry.QUERIES["x2_pq_encode"](spark, sf_dir))
+    assert "Exchange" not in plan, f"pq_encode shuffles:\n{plan[:1500]}"
+
+
+def test_profile_sketch_percentiles_avoid_expand(spark, sf_dir):
+    """The count-distinct Expand (3x row multiplication) must NOT feed the
+    exact-percentile buffers: the two aggregates stay separate (28s -> 6.5s
+    at sf0.1) and recombine via a broadcast cross join."""
+    plan = _final_plan(registry.QUERIES["x3_profile_sketch"](spark, sf_dir))
+    assert "Expand" in plan  # the distinct-count side still plans an expand
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row x 1-row recombine
+    # the percentile aggregates must sit in the broadcast (right) subtree,
+    # i.e. AFTER the BroadcastExchange in the printed tree — not under the
+    # Expand on the cardinality side
+    assert (
+        plan.index("percentile(")
+        > plan.index("BroadcastExchange")
+        > plan.index("Expand")
+    ), "percentile subtree not separated from the count-distinct Expand"
+
+
+def test_drift_psi_single_scan_tiny_shuffle(spark, sf_dir):
+    """PSI report: ONE orders scan, one 10-bin aggregation shuffle, totals
+    from a bounded window over the aggregated bins — no second pass over
+    the fact table (a separate totals aggregate re-planned the subtree and
+    re-scanned orders)."""
+    plan = _final_plan(registry.QUERIES["x12_drift_psi"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, "orders scanned more than once"
+    assert "Window" in plan  # totals via the post-agg window
+
+
+def test_zipf_slope_head_is_bounded(spark, sf_dir):
+    """The vocabulary head must be a TakeOrderedAndProject (top-1000), so
+    the global rank window downstream runs over a bounded relation."""
+    plan = _final_plan(registry.QUERIES["x3_zipf_slope"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, f"head not TakeOrdered:\n{plan[:1500]}"
+
+
+def test_ngram_lm_model_is_capped_takeordered(spark, sf_dir):
+    """The round-4 vocabulary cap: the broadcast LM build side must plan as
+    a TakeOrderedAndProject (top-4096), bounding it at any corpus size."""
+    plan = _final_plan(registry.QUERIES["x3_ngram_lm_score"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # model still broadcasts to scoring
