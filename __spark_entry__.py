@@ -28,42 +28,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_valid_cohort"](spark, SF_SMOKE_DIR)
 
 
-# Names that already have a driver CORRECTNESS row (union of the r01-r03
-# sheets).  The driver samples only the FIRST 50 entries of queries() per
-# round, so we rotate: never-witnessed entries (the whole TPC-H suite and the
-# late registry_ext operators) go first, already-witnessed ones go last.
-# Every registered query is still present — only the order changes.
-_WITNESSED_R01_R03 = frozenset({
-    "a1_earliest_status_date", "a3_counts", "a4_argmax_latest_event",
-    "asof_last_purchase", "f3_case_year", "flagship_valid_cohort",
-    "flagship_valid_cohort_sql", "flagship_valid_flag_cohort",
-    "fusion_etl_collisions", "j1_with_cutoff", "j2_w1_status_rank",
-    "j4_semi_filter", "j5_anti_orphan_customers", "j6_decode_chain",
-    "o1_sort_desc", "o3_top_n", "p11_valid_flag", "p6_negative_id_cohort",
-    "q13_customer_distribution", "q18_large_orders", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_priority_exists", "q5_star_join_revenue",
-    "q6_revenue_delta", "u1_cutoff_dim", "w2_p10_latest_status",
-    "x1_dedup_exact_docs", "x1_dedup_exact_events", "x1_embedding_near_dup",
-    "x1_minhash_near_dup", "x1_minhash_portable", "x1_ngram_jaccard_pairs",
-    "x1_simhash_near_pairs", "x1_simhash_portable", "x1_training_data_prep",
-    "x2_cosine_topk", "x2_embedding_norms", "x2_ivf_ann", "x2_ivf_full_probe",
-    "x2_lsh_bucketed_ann", "x3_fingerprint", "x3_fingerprint_portable",
-    "x3_fingerprint_rolling", "x3_lang_id", "x3_length_histogram",
-    # x3_profile_sketch deliberately absent: its only driver row was a
-    # rows-only "no_oracle" — round 4 gave it a real oracle, so it re-enters
-    # the unwitnessed block to earn a hash-checked row
-    "x3_profile_lineitem", "x3_text_quality",
-    "x3_token_counts", "x3_vocab_topk", "x4_binary_meta", "x4_json_props",
-    "x4_media_decode", "x4_media_meta_summary", "x5_session_windows",
-    "x5_tumbling_hourly",
-})
+def _witnessed_names() -> frozenset[str]:
+    """Names that already have a satisfactory driver CORRECTNESS row, read
+    from the CORRECTNESS_r*.json sheets the driver commits into this repo —
+    self-maintaining, no per-round hand bookkeeping.
+
+    A name counts as witnessed if any sheet shows a full value-hash PASS,
+    or a rows-only ("no_oracle") row for an entry that STILL has no oracle
+    (it cannot do better than rows-only).  A rows-only row for an entry
+    that has since GAINED an oracle does NOT count — it re-enters the
+    unwitnessed block to earn a hash-checked row (x3_profile_sketch did
+    this in round 4).  Failed rows never count, so regressions rotate back
+    into the sample window automatically."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    witnessed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                sheet = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in sheet.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True:
+                witnessed.add(name)
+            elif rec.get("err") == "no_oracle" and name not in registry.ORACLES:
+                witnessed.add(name)
+    return frozenset(witnessed)
 
 
 def _rotated_names() -> list[str]:
-    """Registration order, partitioned so unwitnessed entries come first.
+    """Registration order, partitioned so unwitnessed entries come first
+    (the driver's CORRECTNESS sheet samples only the first 50).
 
-    Within the unwitnessed block: TPC-H queries first (the entire suite is
-    unwitnessed), then oracle-backed ext entries in registration order, then
+    Within the unwitnessed block: explicit priorities first, then TPC-H
+    queries, then oracle-backed ext entries in registration order, then
     rows-only entries (weaker driver check — spend sample slots on the
     hash-checkable ones first).
     """
@@ -76,13 +80,14 @@ def _rotated_names() -> list[str]:
         # actual writeStream path (VERDICT round-3 item #8)
         "x5_stream_curation_replay",
     ]
+    witnessed = _witnessed_names()
     names = list(registry.QUERIES)
+    priority = [n for n in priority if n in names and n not in witnessed]
     unseen = [
         n for n in names
-        if n not in _WITNESSED_R01_R03 and n not in priority
+        if n not in witnessed and n not in priority
     ]
-    seen = [n for n in names if n in _WITNESSED_R01_R03]
-    unseen = priority + unseen
+    seen = [n for n in names if n in witnessed]
     tpch = [n for n in unseen if n.startswith("q") and n[1].isdigit()]
     rest_oracled = [
         n for n in unseen if n not in tpch and n in registry.ORACLES
@@ -90,7 +95,7 @@ def _rotated_names() -> list[str]:
     rest_rows_only = [
         n for n in unseen if n not in tpch and n not in registry.ORACLES
     ]
-    return tpch + rest_oracled + rest_rows_only + seen
+    return priority + tpch + rest_oracled + rest_rows_only + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
