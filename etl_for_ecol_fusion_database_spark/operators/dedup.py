@@ -776,3 +776,53 @@ def dedup_survivors(
         F.sum("_c").cast("long").alias("n_copies"),
         F.max(prefer_col).alias(f"max_{prefer_col}"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster every vector to its nearest centroid, compute exact pairwise
+    cosine ONLY within each cluster, and discard the higher-id member of
+    every pair above ``threshold`` (the greedy keep-lowest-id rule).
+    Returns surviving ``(id, cluster)`` rows.
+
+    This is the Abbas et al. SemDeDup recipe: the clustering bounds the
+    quadratic pair generation to sum(|cluster|^2) — with k ~ sqrt(N)
+    centroids the join is tractable at corpus scale where all-pairs cosine
+    is not.  The pair join is a plain equi-join on the cluster id (ids
+    ordered to halve the pairs); norms are computed once per vector, never
+    per pair; the discard set joins back LEFT ANTI on the id."""
+    from . import clustering
+    from . import similarity
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    assigned = clustering.assign_clusters(base, "v", centroids)
+    withn = assigned.withColumn("nrm", F.sqrt(similarity.norm_sq_expr("v")))
+    a = withn.alias("a")
+    b = withn.alias("b")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    dup_b = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return withn.join(dup_b, on="id", how="left_anti").select("id", "cluster")

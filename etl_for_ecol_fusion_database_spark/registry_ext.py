@@ -4112,3 +4112,168 @@ def x3_readability(spark, sf_dir):
             6,
         ).alias("flesch"),
     )
+
+
+@query(
+    "x1_semdedup",
+    oracle="""
+WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT id AS c_id, v AS cv FROM e WHERE id < 4
+),
+d AS (
+    SELECT e.id, cent.c_id,
+           list_sum([(e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])
+                     for i in generate_series(1, len(e.v))]) AS dist
+    FROM e CROSS JOIN cent
+),
+assign AS (
+    SELECT id, CAST(c_id AS INT) AS cluster FROM (
+        SELECT id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, c_id ASC)
+                   AS rn
+        FROM d
+    ) WHERE rn = 1
+),
+base AS (
+    SELECT e.id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, a.cluster
+    FROM e JOIN assign a USING (id)
+),
+dupb AS (
+    SELECT DISTINCT b.id
+    FROM base a JOIN base b ON a.cluster = b.cluster AND a.id < b.id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT id AS vec_id, cluster
+FROM base WHERE id NOT IN (SELECT id FROM dupb)
+""",
+)
+def x1_semdedup(spark, sf_dir):
+    """X1 SemDeDup semantic deduplication (operators/dedup.semantic_dedup):
+    nearest-centroid clustering bounds the pairwise-cosine join to within
+    clusters, then the higher-id member of every >= threshold pair is
+    discarded — the embedding-space dedup a 100-TB pretraining corpus gets
+    where exact/MinHash text dedup cannot see paraphrases.  Pinned
+    first-4-vector centroids (the x8 seeding) and the bit-identical
+    double-fold distance/cosine make every stage — assignment, candidate
+    pairs, discard set, survivors — DuckDB-replayable.  Fixture threshold
+    0.3 (production ~0.95: the synthetic embeddings are near-orthogonal, so
+    0.95 would be vacuous here).  Scale: k ~ sqrt(N) centroids => the
+    within-cluster join is sum(|cluster|^2), not N^2; norms once per
+    vector; one cluster-keyed shuffle + one anti-join."""
+    from .operators import dedup as dedup_ops
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return dedup_ops.semantic_dedup(
+        emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3
+    ).select(F.col("id").alias("vec_id"), "cluster")
+
+
+@query(
+    "x11_hll_accuracy",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_tolerance
+FROM events GROUP BY event_type
+""",
+)
+def x11_hll_accuracy(spark, sf_dir):
+    """X11 HLL accuracy audit — the oracle-checkable witness for the
+    rows-only x11_hll_incremental path: the SAME per-batch sketch states,
+    merged with hll_union_agg, have their estimates compared against the
+    exact per-group distinct in one plan, emitting (event_type,
+    exact_distinct, within_tolerance).  Exact values hash-check against
+    the oracle; the booleans assert the lgK=12 sketch error (rsd ~1.6%,
+    10% guard).  Same pattern as x3_profile_sketch: the sketch VALUE is
+    implementation-defined, its ACCURACY is not."""
+    from .operators import incremental
+
+    e = _t(spark, sf_dir, "events")
+    days = [
+        incremental.hll_state(
+            e.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id"
+        )
+        for i in range(3)
+    ]
+    approx = incremental.finalize_hll_state(incremental.merge_hll_states(*days))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.10 * F.col("exact_distinct")
+        ).alias("within_tolerance"),
+    )
+
+
+@query(
+    "x6_curriculum_buckets",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           round(0.4 * (len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+                        / len(toks)::DOUBLE)
+                 + 0.3 * (1.0 - n_punct::DOUBLE / n_chars::DOUBLE)
+                 + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 6) AS q
+    FROM t
+),
+th AS (
+    SELECT round(percentile_cont(0.25) WITHIN GROUP (ORDER BY q), 6) AS t1,
+           round(percentile_cont(0.50) WITHIN GROUP (ORDER BY q), 6) AS t2,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY q), 6) AS t3
+    FROM r
+)
+SELECT doc_id, q AS quality_score,
+       CAST(1 + CAST(q > t1 AS INT) + CAST(q > t2 AS INT) + CAST(q > t3 AS INT)
+            AS INT) AS phase
+FROM r CROSS JOIN th
+""",
+)
+def x6_curriculum_buckets(spark, sf_dir):
+    """X6 curriculum-learning phase assignment: docs bucketed into quality
+    QUARTILES — phase 1 (hardest/noisiest) through 4 (cleanest) — the
+    easy-to-hard data ordering curriculum training consumes.  NO global
+    sort/NTILE: three exact percentile thresholds come from ONE scalar
+    aggregate and broadcast into a narrow bucketing projection (the same
+    shape as x3_quality_threshold_filter), so the corpus never shuffles.
+    Thresholds and scores are both rounded to 6dp before comparison, so
+    engine ulp differences cannot flip a boundary doc."""
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.quality_score_expr("text").alias("q")
+    )
+    th = scored.agg(
+        *[
+            F.round(F.expr(f"percentile(q, {p})"), 6).alias(f"t{i}")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("q") > F.col("t1")).cast("int")
+        + (F.col("q") > F.col("t2")).cast("int")
+        + (F.col("q") > F.col("t3")).cast("int")
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        F.col("q").alias("quality_score"),
+        bucket.cast("int").alias("phase"),
+    )

@@ -536,3 +536,69 @@ def test_zipf_and_psi_signals(spark, sf_dir):
     assert 1 <= len(rows) <= 10
     assert all(r.psi_term >= 0 for r in rows)
     assert len({r.bin for r in rows}) == len(rows)
+
+
+def test_semdedup_survivor_set_is_cosine_free(spark, sf_dir):
+    """SemDeDup guarantee: after greedy higher-id removal, NO surviving
+    pair within a cluster still meets the threshold (every qualifying pair
+    lost its higher member); survivors are invariant to input
+    partitioning."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    surv = dedup.semantic_dedup(emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3)
+    rows = surv.collect()
+    assert 0 < len(rows) < emb.count()  # non-vacuous: some dups removed
+
+    kept = surv.join(emb, surv.id == emb.vec_id).select("id", "cluster", "v")
+    kept = kept.withColumn("nrm", F.sqrt(similarity.norm_sq_expr("v")))
+    a, b = kept.alias("a"), kept.alias("b")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    leftover = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= 0.3)
+        .count()
+    )
+    assert leftover == 0
+
+    surv2 = dedup.semantic_dedup(
+        emb.repartition(13, "vec_id"), seeds, id_col="vec_id", vec_col="v", threshold=0.3
+    )
+    assert {(r.id, r.cluster) for r in surv2.collect()} == {
+        (r.id, r.cluster) for r in rows
+    }
+
+
+def test_curriculum_phases_quartile_sized_and_ordered(spark, sf_dir):
+    """Curriculum buckets: 4 phases, each ~a quartile of the corpus, and
+    every doc in a higher phase scores >= every doc in a lower phase."""
+    from etl_for_ecol_fusion_database_spark import registry
+
+    rows = registry.QUERIES["x6_curriculum_buckets"](spark, sf_dir).collect()
+    n = len(rows)
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.quality_score)
+    assert set(by_phase) == {1, 2, 3, 4}
+    for p, scores in by_phase.items():
+        assert len(scores) >= n * 0.15, f"phase {p} far off a quartile"
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1])

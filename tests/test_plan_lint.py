@@ -38,6 +38,7 @@ BNLJ_OK = {
     "x2_hybrid_rrf": "composes bm25_scores (same 1-row stats cross) for the sparse side",
     "x9_curation_v2": "composes domain_mixture (same 1-row normalization-total cross)",
     "x3_profile_sketch": "two 1-row aggregate results (cardinalities x percentiles) cross-joined",
+    "x6_curriculum_buckets": "1-row quartile-threshold relation crossed into the bucketing projection",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
