@@ -43,15 +43,24 @@ def _sq_dist(vec_col: str, centroid: list[float]):
 
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add ``cluster`` = argmin_k squared-distance(vec, centroid_k).
-    Ties resolve to the lowest cluster index (strict < comparison)."""
+    Ties resolve to the lowest cluster index.
+
+    Expression-size note: the argmin is ``least(d_0..d_k)`` plus one
+    equality ``when`` chain — every distance fold is referenced a CONSTANT
+    number of times.  The earlier running-min ``when`` chain doubled the
+    inlined fold expressions per centroid once Catalyst collapsed the
+    projection (2^k blowup: k=16 ran 9x slower than k=4 despite 4x fewer
+    downstream pairs).  The equality compare is exact because ``least``
+    returns one of its inputs bit-for-bit, and matching the FIRST equal
+    distance reproduces the lowest-index tie rule."""
     dists = [_sq_dist(vec_col, c).alias(f"_d{i}") for i, c in enumerate(centroids)]
     with_d = df.select("*", *dists)
-    best = F.lit(0)
-    best_d = F.col("_d0")
+    if len(centroids) == 1:
+        return with_d.select(*df.columns, F.lit(0).cast("int").alias("cluster"))
+    best_d = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    best = F.when(F.col("_d0") == best_d, F.lit(0))
     for i in range(1, len(centroids)):
-        closer = F.col(f"_d{i}") < best_d
-        best = F.when(closer, F.lit(i)).otherwise(best)
-        best_d = F.when(closer, F.col(f"_d{i}")).otherwise(best_d)
+        best = best.when(F.col(f"_d{i}") == best_d, F.lit(i))
     return with_d.select(*df.columns, best.cast("int").alias("cluster"))
 
 

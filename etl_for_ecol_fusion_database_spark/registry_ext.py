@@ -4121,7 +4121,7 @@ WITH e AS (
     SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cent AS (
-    SELECT id AS c_id, v AS cv FROM e WHERE id < 4
+    SELECT id AS c_id, v AS cv FROM e WHERE id < 16
 ),
 d AS (
     SELECT e.id, cent.c_id,
@@ -4156,13 +4156,14 @@ def x1_semdedup(spark, sf_dir):
     clusters, then the higher-id member of every >= threshold pair is
     discarded — the embedding-space dedup a 100-TB pretraining corpus gets
     where exact/MinHash text dedup cannot see paraphrases.  Pinned
-    first-4-vector centroids (the x8 seeding) and the bit-identical
-    double-fold distance/cosine make every stage — assignment, candidate
-    pairs, discard set, survivors — DuckDB-replayable.  Fixture threshold
-    0.3 (production ~0.95: the synthetic embeddings are near-orthogonal, so
-    0.95 would be vacuous here).  Scale: k ~ sqrt(N) centroids => the
-    within-cluster join is sum(|cluster|^2), not N^2; norms once per
-    vector; one cluster-keyed shuffle + one anti-join."""
+    first-16-vector centroids (the x8 seeding, k=16: the within-cluster
+    pair space is ~N^2/k, so k tracks sqrt(N) — 4 clusters cost 4x the
+    pairs at this N) and the bit-identical double-fold distance/cosine
+    make every stage — assignment, candidate pairs, discard set,
+    survivors — DuckDB-replayable.  Fixture threshold 0.3 (production
+    ~0.95: the synthetic embeddings are near-orthogonal, so 0.95 would be
+    vacuous here).  Norms once per vector; one cluster-keyed shuffle +
+    one anti-join."""
     from .operators import dedup as dedup_ops
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -4170,7 +4171,7 @@ def x1_semdedup(spark, sf_dir):
     )
     seeds = [
         [float(x) for x in r.v]
-        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
     return dedup_ops.semantic_dedup(
         emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3
