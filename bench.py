@@ -116,6 +116,12 @@ HEADLINE = [
     "x1_semdedup",
     "x11_hll_accuracy",
     "x6_curriculum_buckets",
+    "x3_gopher_rules",
+    "x3_dsir_logweights",
+    "x2_pq_adc_topk",
+    "x10_scd2_apply",
+    "x6_concat_chunks",
+    "x2_ivf_pq_ann",
 ]
 
 

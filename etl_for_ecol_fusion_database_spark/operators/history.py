@@ -57,3 +57,61 @@ def scd2_intervals(
         .cast("int")
         .alias("is_current"),
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    *,
+    tiebreak: str,
+    materialize_history: bool = True,
+) -> DataFrame:
+    """Incrementally apply a batch of LATER change events to an existing
+    SCD2 history — the per-load maintenance step a warehouse runs instead
+    of re-deriving the whole history from the full event log.
+
+    Precondition: every batch event's ``ts_col`` is strictly greater than
+    every event already folded into ``history`` for the same key (the
+    normal watermark guarantee of an append-only load).  Under it, the
+    result is row-identical to running :func:`scd2_intervals` over the
+    concatenated full log — change-merging only ever compares a row to its
+    predecessor's VALUE, and the open interval carries exactly that state.
+
+    Mechanics: the open (``is_current``) row of each affected key is
+    replayed as a pseudo-event at its ``valid_from`` (tiebreak -1 — it can
+    never tie with a batch event because its timestamp predates the
+    batch), the affected keys' mini-log (pseudo-event + batch events) is
+    re-derived, and every other history row passes through untouched.
+
+    Scale shape: history is consumed ONCE — a single left join tags each
+    row with affected-key membership, then two filters split pass-through
+    rows from replayed open rows (vs the naive 3-consumer form, which
+    re-derives the whole history per consumer: measured 6 scans + 6
+    shuffles at sf0.001).  The re-derivation window is bounded by the
+    BATCH key count, not the history size.  In production the history is
+    a STORED table, so multi-consumer reads are file scans;
+    ``materialize_history=True`` (default) models that by local-
+    checkpointing the tagged relation, so a history passed in as a lazy
+    derivation is still computed once.  The affected-keys join is a plain
+    equi-join Catalyst/AQE broadcasts whenever a day's batch keys fit.
+    """
+    affected = batch.select(key).distinct().withColumn("_aff", F.lit(1))
+    tagged = history.join(affected, key, "left")
+    if materialize_history:
+        tagged = tagged.localCheckpoint(eager=False)
+    open_aff = (F.col("is_current") == 1) & (
+        F.coalesce(F.col("_aff"), F.lit(0)) == 1
+    )
+    passthrough = tagged.filter(~open_aff).drop("_aff")
+    pseudo = tagged.filter(open_aff).select(
+        F.col(key),
+        F.col("valid_from").alias(ts_col),
+        F.col(attr_col),
+        F.lit(-1).cast("long").alias(tiebreak),
+    )
+    minilog = pseudo.unionByName(batch.select(key, ts_col, attr_col, tiebreak))
+    rederived = scd2_intervals(minilog, key, ts_col, attr_col, tiebreak=tiebreak)
+    return passthrough.unionByName(rederived)

@@ -174,6 +174,19 @@ def pack_shards(
     every row's shard is a pure function of the data — stable across
     cluster sizes and re-runs.
     """
+    out, cum_excl = _exclusive_prefix_sum(
+        df, id_col=id_col, size_col=size_col, ids_per_bucket=ids_per_bucket
+    )
+    return out.select(
+        *[c for c in df.columns],
+        F.floor(cum_excl / F.lit(budget)).cast("int").alias("shard_id"),
+    )
+
+
+def _exclusive_prefix_sum(df, *, id_col, size_col, ids_per_bucket):
+    """Distributed exclusive prefix sum of ``size_col`` in ``id_col`` order
+    (the two-phase bucket shape documented on :func:`pack_shards`).
+    Returns (joined frame, exclusive-cumsum Column over it)."""
     bucket = (F.col(id_col) / F.lit(ids_per_bucket)).cast("long")
     sized = df.select(
         "*",
@@ -195,10 +208,51 @@ def pack_shards(
         (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_off"),
     )
     out = run.join(F.broadcast(offsets), run._bkt == F.col("_obkt"))
-    cum_excl = F.col("_off") + F.col("_run") - F.col("_sz")
+    return out, F.col("_off") + F.col("_run") - F.col("_sz")
+
+
+def concat_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    seq_len: int = 2048,
+    ids_per_bucket: int = 10_000,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence layout: documents are laid end
+    to end in ``id_col`` order and the token stream is cut into fixed
+    ``seq_len`` training sequences — unlike :func:`pack_shards` (which only
+    assigns each doc to ONE shard), a document here may SPAN sequences, and
+    the output records exactly where each doc's tokens land:
+
+      ``seq_start`` / ``seq_end``  — first/last training sequence touched
+      ``offset_in_seq``            — the doc's first token's position in
+                                     ``seq_start``
+      ``n_seqs``                   — how many sequences the doc spans
+
+    This is the layout map a dataloader needs to materialize attention-
+    masked packed batches.  Same distributed two-phase prefix sum as
+    pack_shards (per-bucket windows + broadcast bucket offsets — no global
+    single-partition window over the data); every output value is integer
+    arithmetic on the exclusive cumsum, so the whole layout is replayable
+    in ANSI SQL and stable across cluster sizes.  Zero-token docs occupy no
+    stream positions: they report the sequence the cursor is in, span 0.
+    """
+    out, cum_excl = _exclusive_prefix_sum(
+        df, id_col=id_col, size_col=size_col, ids_per_bucket=ids_per_bucket
+    )
+    start = F.floor(cum_excl / F.lit(seq_len))
+    end = F.floor((cum_excl + F.col("_sz") - 1) / F.lit(seq_len))
+    empty = F.col("_sz") == 0
     return out.select(
         *[c for c in df.columns],
-        F.floor(cum_excl / F.lit(budget)).cast("int").alias("shard_id"),
+        start.cast("int").alias("seq_start"),
+        F.when(empty, start).otherwise(end).cast("int").alias("seq_end"),
+        (cum_excl % F.lit(seq_len)).cast("int").alias("offset_in_seq"),
+        F.when(empty, F.lit(0))
+        .otherwise(end - start + 1)
+        .cast("int")
+        .alias("n_seqs"),
     )
 
 

@@ -510,3 +510,141 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_matched_terms"),
     )
     return per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1): per-document repetition-free
+    heuristics a pretraining pipeline applies before any model-based
+    filter.  Emitted as one row per doc with the measured signals, one
+    boolean per rule, and the conjunctive ``keep`` verdict, so downstream
+    consumers can re-weight individual rules without recomputing signals.
+
+    Rules (thresholds from the paper, closed-form over the text):
+      * 50 <= word count <= 100,000
+      * mean word length in [3, 10]
+      * symbol-to-word ratio (``#`` or ``...``) <= 0.1
+      * >= 80% of words contain at least one alphabetic character
+      * >= 2 stopword hits (the closed STOPWORDS set)
+
+    Scale shape: a single narrow projection — no shuffle, no UDF; every
+    signal is a codegen built-in over the token array.  Mean word length
+    uses ``len(text minus whitespace) / n_words`` (identical to summing
+    token lengths, but one regexp_replace instead of an aggregate fold).
+    """
+    t = tokens(text_col)
+    n_words = F.size(t)
+    nd = n_words.cast("double")
+    mean_wl = F.length(F.regexp_replace(F.col(text_col), r"\s", "")).cast("double") / nd
+    alpha_ratio = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"(#|\.\.\.)"), 0)).cast("double")
+        / nd
+    )
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    r_words = (n_words >= 50) & (n_words <= 100_000)
+    r_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_sym = symbol_ratio <= 0.1
+    r_alpha = alpha_ratio >= 0.8
+    r_stop = stop_hits >= 2
+    return df.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+    )
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str, extra: list[str]) -> DataFrame:
+    """Non-distinct word bigram OCCURRENCES as rows (DSIR counts every
+    occurrence; the dedup shingle helper deliberately dedupes per-doc)."""
+    t = df.select(
+        F.col(id_col),
+        *extra,
+        F.split(normalize_text(text_col), r"\s+").alias("_t"),
+    )
+    grams = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_t", i + 1), F.element_at("_t", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select(F.col(id_col), *extra, F.explode(grams).alias("gram"))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_pred,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    ``log p_target(x) - log p_raw(x)`` under hashed-bigram bag-of-ngrams
+    models, the score DSIR Gumbel-top-k samples to select pretraining data
+    matching a target domain.
+
+    ``target_pred`` is a boolean Column defining the target subset (e.g.
+    ``F.col("lang") == "en"``).  Features are word-bigram occurrences
+    hashed into ``n_buckets`` buckets with the portable md5-prefix hash
+    (operators/dedup.portable_hash_expr), so the DuckDB oracle replays the
+    whole pipeline.  Bucket probabilities use add-one smoothing.
+
+    Scale shape: bucket distributions are ONE pass over the bigrams ending
+    in an ``n_buckets``-row aggregate (raw + target counted together via a
+    conditional sum); totals derive from those 256 rows, never a second
+    corpus scan.  The per-doc score joins the broadcast 256-row log-ratio
+    table to the bigram stream and sums per doc — one data-sized shuffle
+    keyed by doc id.  Docs with <2 tokens carry weight 0.
+    """
+    from .dedup import portable_hash_expr
+
+    bg = _bigram_rows(
+        df.withColumn("_is_tgt", target_pred), id_col, text_col, ["_is_tgt"]
+    ).select(
+        F.col(id_col),
+        "_is_tgt",
+        (portable_hash_expr("gram") % F.lit(n_buckets)).alias("b"),
+    )
+    dist = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.col("_is_tgt").cast("long")).alias("n_t"),
+    )
+    totals = dist.agg(
+        F.sum("n_r").alias("t_r"), F.sum("n_t").alias("t_t")
+    )
+    lut = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("n_t") + 1).cast("double")
+                / (F.col("t_t") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("n_r") + 1).cast("double")
+                / (F.col("t_r") + n_buckets).cast("double")
+            )
+        ).alias("lw"),
+    )
+    per_doc = (
+        bg.join(F.broadcast(lut), "b")
+        .groupBy(id_col)
+        .agg(F.sum("lw").alias("_w"))
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.round(F.coalesce(F.col("_w"), F.lit(0.0)), 6).alias("dsir_logweight"),
+    )

@@ -39,6 +39,8 @@ BNLJ_OK = {
     "x9_curation_v2": "composes domain_mixture (same 1-row normalization-total cross)",
     "x3_profile_sketch": "two 1-row aggregate results (cardinalities x percentiles) cross-joined",
     "x6_curriculum_buckets": "1-row quartile-threshold relation crossed into the bucketing projection",
+    "x3_dsir_logweights": "1-row bigram-totals relation crossed into the 256-row bucket log-ratio table",
+    "x2_pq_adc_topk": "10 broadcast query distance-table rows crossed into the PQ-code relation (bounded probe set)",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
@@ -53,6 +55,7 @@ GLOBAL_WINDOW_OK = {
     "x2_hybrid_rrf": "rank window over a post-top-k relation (<= 50 rows by construction)",
     "x3_zipf_slope": "rank window over the top-1000 vocabulary head (bounded by the preceding limit)",
     "x12_drift_psi": "bin-totals window over the 10-row post-aggregation bin table",
+    "x6_concat_chunks": "bucket-offset window over per-bucket totals (n_buckets rows), same shape as pack_shards",
 }
 
 

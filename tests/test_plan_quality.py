@@ -355,3 +355,45 @@ def test_ngram_lm_model_is_capped_takeordered(spark, sf_dir):
     plan = _final_plan(registry.QUERIES["x3_ngram_lm_score"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan  # model still broadcasts to scoring
+
+
+def test_gopher_rules_zero_shuffle_pruned_scan(spark, sf_dir):
+    """Round-4 X3k: the Gopher rule report is a single narrow projection —
+    no exchange of any kind, scan pruned to (doc_id, text)."""
+    plan = _final_plan(registry.QUERIES["x3_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string" in plan
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    """Round-4 X3l: the 256-row log-ratio table joins back to the bigram
+    stream as a BROADCAST hash join (never a data-sized shuffle), and the
+    bigram-totals cross is a 1-row BNLJ."""
+    plan = _final_plan(registry.QUERIES["x3_dsir_logweights"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # bucket agg + per-doc agg + the doc-keyed result join: <= 4 data shuffles
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_pq_adc_windowgrouplimit_and_bounded_bnlj(spark, sf_dir):
+    """Round-4 X2f: the per-query rank must be optimizer-capped
+    (WindowGroupLimit partial+final), the 10-row distance table is the only
+    BNLJ, and the whole search costs <= 2 data shuffles (code pivot +
+    per-query rank)."""
+    plan = _final_plan(registry.QUERIES["x2_pq_adc_topk"](spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_apply_history_consumed_once(spark, sf_dir):
+    """Round-4 X7b: the tagged history materializes once (localCheckpoint)
+    and feeds both the pass-through and the replayed-open-rows branches —
+    the events parquet is scanned ONCE and only the bounded mini-log
+    re-derivation windows over batch keys remain live."""
+    plan = _final_plan(registry.QUERIES["x10_scd2_apply"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("ExistingRDD") >= 1  # the checkpointed tagged history
