@@ -122,6 +122,10 @@ HEADLINE = [
     "x10_scd2_apply",
     "x6_concat_chunks",
     "x2_ivf_pq_ann",
+    "x12_partition_completeness",
+    "x12_dataset_card",
+    "x3_oov_rate",
+    "x13_skew_report",
 ]
 
 

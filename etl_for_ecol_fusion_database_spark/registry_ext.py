@@ -4803,3 +4803,257 @@ def x2_ivf_pq_ann(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("q_id", "vec_id", F.round("adc", 6).alias("adc_dist"), "rank")
     )
+
+
+@query(
+    "x12_partition_completeness",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+),
+daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+stats AS (
+    SELECT round(AVG(n_events), 6) AS mean_n FROM daily
+)
+SELECT s.day, COALESCE(d.n_events, 0) AS n_events,
+       CASE WHEN d.n_events IS NULL THEN 'missing'
+            WHEN d.n_events < 0.5 * mean_n THEN 'short'
+            ELSE 'ok' END AS status
+FROM spine s LEFT JOIN daily d ON d.day = s.day CROSS JOIN stats
+""",
+)
+def x12_partition_completeness(spark, sf_dir):
+    """X12 partition-completeness report — the ops check an ingestion
+    pipeline runs before trusting a day's data: the expected daily
+    calendar (derived from the observed min/max, one scalar aggregate)
+    LEFT-joined to per-day event counts; days absent from the data are
+    'missing', days under half the mean volume are 'short'.  Scale shape:
+    the fact table aggregates ONCE to |days| rows; the calendar spine
+    explodes from a 1-row aggregate and every subsequent join is over
+    day-count-sized relations — a 100-TB event log yields a ~365-row
+    report with one data-sized shuffle."""
+    e = _t(spark, sf_dir, "events").select(F.col("ts").cast("timestamp").alias("ts"))
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spine = (
+        e.agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    stats = daily.agg(F.round(F.avg("n_events"), 6).alias("mean_n"))
+    return (
+        spine.join(daily, "day", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.when(F.col("n_events").isNull(), F.lit("missing"))
+            .when(F.col("n_events") < 0.5 * F.col("mean_n"), F.lit("short"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "x12_dataset_card",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id, lang, source, n_chars,
+           regexp_split_to_array(trim(text), '\s+') AS toks, text
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+           round(0.4 * (len(list_filter(toks, x -> list_contains({_STOP_LIST}, x)))::DOUBLE
+                        / len(toks)::DOUBLE)
+                 + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                                / length(text)::DOUBLE)
+                 + 0.3 * least(length(text)::DOUBLE / 500.0, 1.0), 6) AS q,
+           text
+    FROM t
+),
+dups AS (
+    SELECT text, COUNT(*) AS n FROM per_doc GROUP BY text
+)
+SELECT p.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(p.n_chars) AS BIGINT) AS total_chars,
+       round(AVG(p.q), 6) AS mean_quality,
+       CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_in_dup_groups,
+       CAST(COUNT(DISTINCT p.text) AS BIGINT) AS n_unique_texts
+FROM per_doc p JOIN dups d ON d.text = p.text
+GROUP BY p.lang
+""",
+)
+def x12_dataset_card(spark, sf_dir):
+    """X12 dataset-card rollup — the per-language summary a curated corpus
+    ships with (datasheet/dataset-card practice): doc/token/char volumes,
+    mean quality score, exact-duplicate exposure, distinct-text counts.
+    Scale shape: ONE narrow projection computes per-doc signals, a
+    text-keyed aggregation sizes dup groups (map-side combine collapses
+    duplicates pre-shuffle), and the final per-lang rollup is a keyed
+    aggregation to |langs| rows — two data-sized shuffles total, both
+    pre-combined.  The quality expression is the shared
+    text.quality_score_expr, so the card and the curation filters cannot
+    drift."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(text.tokens("text")).alias("n_tokens"),
+        text.quality_score_expr("text").alias("q"),
+        "text",
+    )
+    dups = per_doc.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_doc.join(dups, "text")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias(
+                "docs_in_dup_groups"
+            ),
+            F.countDistinct("text").alias("n_unique_texts"),
+        )
+    )
+
+
+@query(
+    "x3_oov_rate",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM toks WHERE token != '' GROUP BY token
+),
+vocab AS (
+    SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 100
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE, 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+WHERE t.token != ''
+GROUP BY t.doc_id
+""",
+)
+def x3_oov_rate(spark, sf_dir):
+    """X3 out-of-vocabulary rate: per-doc fraction of tokens outside the
+    top-100 corpus vocabulary — the tokenizer-fit signal that flags docs a
+    fixed vocab will shred into rare pieces (cost + quality risk at
+    training time).  Scale shape: the vocabulary head is a
+    TakeOrderedAndProject over the token aggregation (bounded 100 rows),
+    broadcast back into the token stream as a LEFT join; the only
+    data-sized shuffles are the vocabulary count and the per-doc rollup,
+    both map-side combined."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(dedup.normalize_text("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "x13_skew_report",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           round(AVG(n), 6) AS mean_n
+    FROM per_key
+),
+top AS (
+    SELECT user_id, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS INT) AS rnk
+    FROM per_key ORDER BY n DESC, user_id ASC LIMIT 5
+)
+SELECT t.user_id AS hot_key, t.n AS n_rows_key, t.rnk AS rank,
+       s.n_keys, s.n_rows,
+       round(t.n::DOUBLE / s.mean_n, 6) AS skew_factor
+FROM top t CROSS JOIN stats s
+""",
+)
+def x13_skew_report(spark, sf_dir):
+    """X13 join/agg skew diagnosis — the DETECT half of the skew story
+    (x13_salted_agg is the mitigation): per-key row counts aggregated
+    once, the 5 heaviest keys ranked with their skew factor (key volume /
+    mean key volume) plus corpus-level context.  At 100 TB this is the
+    report that decides whether the flagship's collision_id shuffle needs
+    salting or AQE skew splitting.  Scale shape: ONE keyed aggregation
+    (map-side combined); stats reduce its output to one row; the top-5 is
+    a TakeOrderedAndProject over the key counts — the rank window runs on
+    a bounded 5-row relation."""
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("mean_n"),
+    )
+    top = per_key.orderBy(F.desc("n"), F.asc("user_id")).limit(5)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("user_id"))),
+    )
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        F.col("user_id").alias("hot_key"),
+        F.col("n").alias("n_rows_key"),
+        "rank",
+        "n_keys",
+        "n_rows",
+        F.round(F.col("n").cast("double") / F.col("mean_n"), 6).alias("skew_factor"),
+    )

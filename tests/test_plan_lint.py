@@ -41,6 +41,8 @@ BNLJ_OK = {
     "x6_curriculum_buckets": "1-row quartile-threshold relation crossed into the bucketing projection",
     "x3_dsir_logweights": "1-row bigram-totals relation crossed into the 256-row bucket log-ratio table",
     "x2_pq_adc_topk": "10 broadcast query distance-table rows crossed into the PQ-code relation (bounded probe set)",
+    "x12_partition_completeness": "1-row mean-volume relation crossed into the |days|-row spine join",
+    "x13_skew_report": "1-row key-stats relation crossed into the post-limit 5-row hot-key relation",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
@@ -56,6 +58,7 @@ GLOBAL_WINDOW_OK = {
     "x3_zipf_slope": "rank window over the top-1000 vocabulary head (bounded by the preceding limit)",
     "x12_drift_psi": "bin-totals window over the 10-row post-aggregation bin table",
     "x6_concat_chunks": "bucket-offset window over per-bucket totals (n_buckets rows), same shape as pack_shards",
+    "x13_skew_report": "rank window over the post-limit 5-row hot-key relation",
 }
 
 

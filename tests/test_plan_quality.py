@@ -397,3 +397,22 @@ def test_scd2_apply_history_consumed_once(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("ExistingRDD") >= 1  # the checkpointed tagged history
+
+
+def test_partition_completeness_aggregates_before_spine_join(spark, sf_dir):
+    """Round-4 X12f: the fact table must reduce to per-day rows BEFORE any
+    join — the spine join and the mean-volume cross operate on day-count-
+    sized relations only (one data-sized shuffle total)."""
+    plan = _final_plan(registry.QUERIES["x12_partition_completeness"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # events scan pruned to the timestamp column only
+    assert "ReadSchema: struct<ts:timestamp" in plan
+
+
+def test_dataset_card_two_keyed_shuffles(spark, sf_dir):
+    """Round-4 X12g: one text-keyed dup-group aggregation + one per-lang
+    rollup — both with map-side partial aggregation; no window, no BNLJ."""
+    plan = _final_plan(registry.QUERIES["x12_dataset_card"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

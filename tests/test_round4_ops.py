@@ -295,3 +295,104 @@ def test_ivf_pq_matches_numpy_replay(spark):
         assert [v for _, v, _ in got] == [v for _, v in expect], f"query {q}"
         for (_, _, d_got), (d_exp, _) in zip(got, expect):
             assert abs(d_got - d_exp) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# partition completeness / dataset card
+# ---------------------------------------------------------------------------
+
+
+def test_partition_completeness_flags_gaps(spark):
+    """A synthetic log with a missing day and a short day must be flagged;
+    the spine covers the full observed range."""
+    from etl_for_ecol_fusion_database_spark.operators import text as _  # noqa: F401
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 100), (2, 100), (4, 100), (5, 3)]:  # day 3 missing
+        for i in range(n):
+            rows.append((eid, f"2024-01-0{day} 12:{i % 60:02d}:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.createOrReplaceTempView("_pc_events")
+    daily = df.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spine = df.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    ).select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    stats = daily.agg(F.round(F.avg("n_events"), 6).alias("mean_n"))
+    out = {
+        str(r.day): r.status
+        for r in spine.join(daily, "day", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            F.when(F.col("n_events").isNull(), F.lit("missing"))
+            .when(F.col("n_events") < 0.5 * F.col("mean_n"), F.lit("short"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+        .collect()
+    }
+    assert out["2024-01-03"] == "missing"
+    assert out["2024-01-05"] == "short"
+    assert out["2024-01-01"] == "ok" and len(out) == 5
+
+
+def test_partition_completeness_registry_shape(spark, sf_dir):
+    out = QUERIES["x12_partition_completeness"](spark, sf_dir).collect()
+    days = sorted(str(r.day) for r in out)
+    # contiguous daily spine over the observed range, no duplicates
+    assert len(days) == len(set(days))
+    assert all(r.n_events >= 0 for r in out)
+    assert {r.status for r in out} <= {"ok", "short", "missing"}
+
+
+def test_dataset_card_totals_consistent(spark, sf_dir):
+    """Card totals must reconcile with direct corpus-wide counts."""
+    card = QUERIES["x12_dataset_card"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in card) == docs.count()
+    assert sum(r.total_chars for r in card) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    for r in card:
+        assert 0 <= r.docs_in_dup_groups <= r.n_docs
+        assert r.n_unique_texts <= r.n_docs
+        assert 0.0 <= r.mean_quality <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# OOV rate / skew report
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_bounds_and_consistency(spark, sf_dir):
+    out = QUERIES["x3_oov_rate"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - round(r.n_oov / r.n_tokens, 6)) < 1e-9
+    # the top-100 vocabulary must cover SOME tokens somewhere
+    assert any(r.n_oov < r.n_tokens for r in out)
+
+
+def test_skew_report_identifies_heaviest_key(spark, sf_dir):
+    out = sorted(QUERIES["x13_skew_report"](spark, sf_dir).collect(), key=lambda r: r.rank)
+    e = load_table(spark, sf_dir, "events")
+    counts = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    heaviest = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert out[0].hot_key == heaviest[0] and out[0].n_rows_key == heaviest[1]
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    # ranked descending by volume; skew factor consistent with the mean
+    vols = [r.n_rows_key for r in out]
+    assert vols == sorted(vols, reverse=True)
+    mean = sum(counts.values()) / len(counts)
+    assert abs(out[0].skew_factor - round(out[0].n_rows_key / round(mean, 6), 6)) < 1e-4
