@@ -803,7 +803,16 @@ def semantic_dedup(
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     assigned = clustering.assign_clusters(base, "v", centroids)
-    withn = assigned.withColumn("nrm", F.sqrt(similarity.norm_sq_expr("v")))
+    # Materialize (id, cluster, nrm, v) once: the relation feeds BOTH join
+    # sides plus the final anti-join, and without the barrier each consumer
+    # re-evaluates the k x dim assignment expression (measured 5.5x on the
+    # join stage alone).  This is the SemDeDup recipe's own shape — the
+    # cluster assignment is a materialized artifact, sized id+cluster+norm+
+    # vector per row, partition-parallel at corpus scale.
+    withn = (
+        assigned.withColumn("nrm", F.sqrt(similarity.norm_sq_expr("v")))
+        .localCheckpoint(eager=False)
+    )
     a = withn.alias("a")
     b = withn.alias("b")
     cos = F.round(
