@@ -730,6 +730,88 @@ def decontaminate(
     return train.join(bad, on=id_col, how="left_anti")
 
 
+def bloom_decontaminate_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the MEMORY-BOUNDED scale
+    path next to ``contamination_report``'s exact gram join.
+
+    The benchmark side is reduced to its set of Bloom bit positions:
+    every distinct benchmark ``n``-gram sets ``k`` positions in an
+    ``m_bits``-wide filter (positions = k independent universal hashes of
+    the portable md5-prefix gram hash).  A train gram "hits" iff ALL k of
+    its positions are set — the classic Bloom membership test, with the
+    classic one-sided error: false positives at rate ~(1-e^{-kn/m})^k,
+    never false negatives, which is the right direction for
+    decontamination (over-flagging is safe, under-flagging is not).
+
+    Why this beats the exact join at 100 TB: the filter is ≤ m_bits bits
+    (128 KiB/2^20 here) REGARDLESS of benchmark size, so it broadcasts to
+    every executor and the train side is tested with three broadcast-hash
+    probes per gram — no shuffle of benchmark grams, no skew on ubiquitous
+    phrases, and the train side stays a narrow scan until the final per-doc
+    aggregation (the only exchange in the plan).  Relationally the filter
+    is the distinct-position table; a production deployment packs it into
+    an actual bitset broadcast variable — same semantics, same hashes.
+
+    Output: one row per train doc —
+    ``(doc_id, n_grams, n_flagged_grams, contaminated)``.  All arithmetic
+    is portable integer math, so an ANSI-SQL oracle replays the filter
+    bit-for-bit (Bloom false positives are deterministic given the hash
+    family).
+    """
+    if k > len(_PORT_A):
+        raise ValueError(f"k={k} exceeds available hash family size")
+    filt = (
+        shingle_rows(bench, id_col, text_col, n=n)
+        .select(portable_hash_expr("shingle").alias("x"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("x") * _PORT_A[h] + _PORT_B[h]) % _P_PORT)
+                        % F.lit(m_bits)
+                        for h in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    tr = shingle_rows(train, id_col, text_col, n=n).select(
+        "id", portable_hash_expr("shingle").alias("x")
+    )
+    probed = tr
+    all_set = None
+    for h in range(k):
+        pos_h = ((F.col("x") * _PORT_A[h] + _PORT_B[h]) % _P_PORT) % F.lit(m_bits)
+        fh = F.broadcast(filt.select(F.col("pos").alias(f"_p{h}"), F.lit(1).alias(f"_m{h}")))
+        probed = probed.join(fh, pos_h == F.col(f"_p{h}"), "left")
+        hit = F.col(f"_m{h}").isNotNull()
+        all_set = hit if all_set is None else (all_set & hit)
+    return (
+        probed.select("id", all_set.alias("_hit"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias("n_flagged_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_flagged_grams",
+            (F.col("n_flagged_grams") > 0).alias("contaminated"),
+        )
+    )
+
+
 def dedup_survivors(
     df: DataFrame,
     key_cols: list[str],

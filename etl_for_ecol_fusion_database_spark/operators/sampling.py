@@ -28,6 +28,10 @@ from pyspark.sql.window import Window
 #: to ~4e9 cannot overflow int64 (Spark with ANSI off would wrap silently).
 KNUTH = 2654435761
 
+#: Mersenne prime 2^31-1 — modulus for rank-over-hash orderings (keeps the
+#: hash in int32 range while remaining replayable in ANSI-SQL BIGINT math).
+_P31 = 2_147_483_647
+
 #: modulus for split bucketing — 1000 buckets => per-mille split weights
 N_BUCKETS = 1000
 
@@ -99,6 +103,38 @@ def stratified_sample(
         )
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
+    )
+
+
+def per_key_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    n: int = 5,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-key downsample: keep at most ``n`` rows per key,
+    chosen by rank over a hash of the id (ties broken by the id itself).
+
+    This is the reproducible replacement for per-key reservoir sampling: a
+    true reservoir is order- and partitioning-dependent, while rank-over-
+    hash picks the SAME ``n`` rows for a key on any cluster layout and is
+    stable under re-runs and appends that don't touch the chosen ids.  The
+    canonical use is capping a dominant source/user/domain's contribution
+    to a training mix (the "no key may exceed n examples" rule).
+
+    One shuffle on the key; the window's top-n filter plans as
+    WindowGroupLimit, so each reducer keeps an n-row heap per key instead
+    of sorting whole groups.  The hash is portable integer arithmetic
+    (same family as ``split_bucket``) so an ANSI-SQL oracle can replay the
+    selection exactly.
+    """
+    rank_key = F.pmod((F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(_P31))
+    w = Window.partitionBy(*key_cols).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.select("*", F.row_number().over(w).cast("int").alias("sample_rank"))
+        .filter(F.col("sample_rank") <= n)
     )
 
 

@@ -254,6 +254,67 @@ def lsh_bucketed_ann(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 3,
+    n_bits: int = 4,
+    seed: int = 42,
+    signature_fn=portable_hyperplane_signatures_df,
+) -> DataFrame:
+    """Bucketed k-nearest-neighbor SELF-join: EVERY vector gets its top-k
+    neighbors from within its own hyperplane bucket — the batch analogue
+    of the per-query ANN probe, and the primitive behind corpus-wide
+    near-duplicate graphs, contrastive-pair mining, and kNN-classifier
+    label propagation.
+
+    Unlike ``lsh_bucketed_ann`` (20 broadcast queries probing the corpus),
+    here both sides are the full relation, so the pair space must be
+    bounded STRUCTURALLY: the self-join is an equi-join on the bucket id,
+    giving ~N²/2^n_bits candidate pairs instead of N².  ``n_bits`` is the
+    recall/cost dial — more bits, fewer candidates per vector, lower
+    recall.  One shuffle keyed on the bucket (both sides co-partitioned),
+    then the per-id top-k window reuses that partitioning order only if
+    bucket==id, so it costs the second (and last) exchange; the rank
+    filter plans as WindowGroupLimit (bounded per-key state).
+
+    Default signatures are the portable integer-plane family so an
+    ANSI-SQL oracle replays bucketing + ranking end to end; pass
+    ``signature_fn=hyperplane_signatures_df`` for the xxhash64 production
+    planes.  Vectors in singleton buckets emit no rows (no neighbor is an
+    honest answer for "nothing collided"; widen with fewer bits if every
+    vector must be covered).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = signature_fn(base, n_bits=n_bits, seed=seed)
+    sided = with_norm(base, "v").join(sigs, "id")
+    a = sided.select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    b = sided.select(
+        F.col("id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        a.join(b, on="bucket")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (the second scale path the north star names)
 # ---------------------------------------------------------------------------

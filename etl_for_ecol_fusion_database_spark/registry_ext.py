@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, sampling, similarity, text
 from .registry import query
 
 
@@ -5056,4 +5056,240 @@ def x13_skew_report(spark, sf_dir):
         "n_keys",
         "n_rows",
         F.round(F.col("n").cast("double") / F.col("mean_n"), 6).alias("skew_factor"),
+    )
+
+
+# ===========================================================================
+# round-4b additions: Bloom decontamination, kNN join, CSV/ORC round-trips,
+# per-key deterministic sampling
+# ===========================================================================
+
+
+def _bloom_oracle() -> str:
+    """DuckDB replay of the portable Bloom filter — generated from the same
+    hash constants as operators/dedup.bloom_decontaminate_report so the two
+    cannot drift."""
+    m_bits = 1 << 20
+    pos_list = ", ".join(
+        f"(x * {dedup._PORT_A[h]} + {dedup._PORT_B[h]}) % {dedup._P_PORT} % {m_bits}"
+        for h in range(3)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(t) >= 3
+                       THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                           for i in generate_series(1, len(t) - 2)])
+                       ELSE list_distinct(t) END) AS shingle
+    FROM toks
+),
+h AS (
+    SELECT doc_id, source,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(shingle)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)])
+                % {dedup._P_PORT} AS BIGINT) AS x
+    FROM sh
+),
+filt AS (
+    SELECT DISTINCT unnest([{pos_list}]) AS pos
+    FROM h WHERE source = 'src0'
+),
+train AS (SELECT doc_id, x FROM h WHERE source != 'src0'),
+probe AS (
+    SELECT t.doc_id,
+           CASE WHEN {" AND ".join(
+               f"(t.x * {dedup._PORT_A[h]} + {dedup._PORT_B[h]}) % {dedup._P_PORT} % {m_bits} IN (SELECT pos FROM filt)"
+               for h in range(3)
+           )} THEN 1 ELSE 0 END AS hit
+    FROM train t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(hit) AS BIGINT) AS n_flagged_grams,
+       SUM(hit) > 0 AS contaminated
+FROM probe GROUP BY doc_id
+"""
+
+
+@query("x1_bloom_decontaminate", oracle=_bloom_oracle())
+def x1_bloom_decontaminate(spark, sf_dir):
+    """X1 Bloom-filter benchmark decontamination
+    (operators/dedup.bloom_decontaminate_report): the benchmark partition
+    (source='src0') is reduced to a <=2^20-bit Bloom filter (k=3 portable
+    universal hashes over md5-prefix gram hashes) and every other
+    document's word 3-grams are membership-tested against the broadcast
+    filter — constant filter memory regardless of benchmark size, no
+    benchmark-gram shuffle, one-sided (over-flagging) error.  The exact
+    gram-join counterpart is x6_decontaminate; this is the shape that
+    survives a 100-TB train corpus against a large benchmark suite."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.bloom_decontaminate_report(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+        m_bits=1 << 20,
+        k=3,
+    )
+
+
+@query(
+    "x2_knn_join",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (
+    SELECT vec_id,
+           CAST(list_sum([CASE WHEN
+                    list_sum([v[i] * (((b * 37 + (i - 1) * 101 + 13 + 42) % 7) - 3)
+                              for i in generate_series(1, len(v))]) > 0
+                    THEN CAST(power(2, b) AS BIGINT) ELSE 0 END
+                 for b in generate_series(0, 3)]) AS BIGINT) AS bucket
+    FROM e
+),
+n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sided AS (
+    SELECT e.vec_id AS id, e.v, n.nrm, s.bucket
+    FROM e JOIN n USING (vec_id) JOIN sig s USING (vec_id)
+),
+scored AS (
+    SELECT a.id AS q_id, b.id AS cand_id,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM sided a JOIN sided b ON a.bucket = b.bucket AND a.id != b.id
+),
+ranked AS (
+    SELECT q_id, cand_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cosine, rank FROM ranked WHERE rank <= 3
+""",
+)
+def x2_knn_join(spark, sf_dir):
+    """X2 corpus-wide kNN self-join (operators/similarity.knn_join): every
+    vector gets its top-3 in-bucket neighbors — 4-bit portable hyperplane
+    buckets bound the pair space to ~N²/16, one bucket-keyed shuffle plus
+    the per-id WindowGroupLimit rank.  The batch primitive behind near-dup
+    graphs and contrastive-pair mining; the DuckDB oracle replays buckets,
+    cosines, and ranks end to end."""
+    return similarity.knn_join(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, n_bits=4, seed=42
+    )
+
+
+#: temp dirs of the previous csv/orc round-trip invocations
+_RT_DIRS: list = []
+
+
+def _rt_tmpdir(prefix: str) -> str:
+    import shutil
+    import tempfile
+
+    while _RT_DIRS:
+        shutil.rmtree(_RT_DIRS.pop(), ignore_errors=True)
+    out = tempfile.mkdtemp(prefix=prefix)
+    _RT_DIRS.append(out)
+    return out
+
+
+@query(
+    "s19_csv_roundtrip",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       event_type, value, props
+FROM events
+""",
+)
+def s19_csv_roundtrip(spark, sf_dir):
+    """S-surface CSV sink/source fidelity: the events relation written to
+    quoted CSV and read back with an explicit schema.  ``props`` holds JSON
+    text with embedded quotes and commas — the worst case for CSV framing —
+    and must survive quote-escaping bit-for-bit (the oracle reads the
+    ORIGINAL parquet).  Timestamps cross as pre-formatted microsecond
+    strings (CSV has no timestamp type; round-tripping the FORMATTED value
+    keeps the witness deterministic across writer versions).  The write is
+    one narrow partition-parallel pass, no shuffle on either side."""
+    out = _rt_tmpdir("csv_roundtrip_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    schema = "event_id long, ts_str string, event_type string, value double, props string"
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@query(
+    "s20_orc_roundtrip",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       user_id, event_type, value
+FROM events
+""",
+)
+def s20_orc_roundtrip(spark, sf_dir):
+    """S-surface ORC sink/source fidelity: native typed round-trip through
+    Spark's built-in columnar ORC source (schema embedded in the file, no
+    explicit read schema needed) — timestamps keep microsecond precision
+    through ORC's TIMESTAMP physical type and are formatted AFTER the
+    round trip, so the witness covers the binary encoding itself.  Like
+    the parquet path, ORC scans support predicate pushdown and column
+    pruning at scale; the write is narrow and partition-parallel."""
+    out = _rt_tmpdir("orc_roundtrip_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "x6_per_key_sample",
+    oracle=f"""
+WITH ranked AS (
+    SELECT event_id, user_id, event_type,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY (event_id * {sampling.KNUTH}) % {sampling._P31} ASC,
+                        event_id ASC) AS INT) AS sample_rank
+    FROM events
+)
+SELECT event_id, user_id, event_type, sample_rank
+FROM ranked WHERE sample_rank <= 5
+""",
+)
+def x6_per_key_sample(spark, sf_dir):
+    """X6 deterministic per-key downsample
+    (operators/sampling.per_key_sample): at most 5 events per user, chosen
+    by rank-over-hash — the reproducible replacement for per-key reservoir
+    sampling (a true reservoir depends on row order and partitioning; this
+    picks the same rows on any layout).  The canonical 'no key may exceed
+    n examples' cap on a dominant user/domain/source.  One shuffle on the
+    key; WindowGroupLimit keeps per-key state bounded at n."""
+    from .operators import sampling as sampling_ops
+
+    return sampling_ops.per_key_sample(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type"),
+        ["user_id"],
+        "event_id",
+        n=5,
     )
