@@ -126,6 +126,16 @@ HEADLINE = [
     "x12_dataset_card",
     "x3_oov_rate",
     "x13_skew_report",
+    # round 4b: Bloom decontamination, kNN self-join, format round-trips,
+    # per-key sampling
+    "x1_bloom_decontaminate",
+    "x2_knn_join",
+    "s19_csv_roundtrip",
+    "s20_orc_roundtrip",
+    "x6_per_key_sample",
+    "x3_hashing_features",
+    "x1_cdc_chunks",
+    "x6_epoch_shuffle",
 ]
 
 

@@ -917,3 +917,85 @@ def semantic_dedup(
         .distinct()
     )
     return withn.join(dup_b, on="id", how="left_anti").select("id", "cluster")
+
+
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/gear-style): cut each normalized
+    document at positions where the rolling window hash satisfies
+    ``hash % modulus == 0``, yielding ``(id, chunk_idx, start, chunk,
+    chunk_hash)`` rows with expected chunk length ~``modulus`` chars.
+
+    Why content-defined beats fixed-width chunking for dedup: an insertion
+    near the front of a document SHIFTS every fixed-width boundary after
+    it, so all downstream chunks change; CDC boundaries are a function of
+    LOCAL content only, so edits perturb just the chunk they touch and
+    shared regions keep producing identical chunks — which is what makes
+    chunk-level dedup find large common spans between near-identical
+    documents (the storage-dedup trick, applied to corpus curation).
+
+    Shape: boundary detection, chunk extraction, and hashing are ONE
+    narrow per-row projection (the cut-position list is an array
+    expression over the document — no explode-then-window, no shuffle at
+    all); callers aggregate the emitted rows as needed.  The md5-prefix
+    hash family keeps every boundary ANSI-SQL-replayable.
+    """
+    from .text import normalize_text
+
+    normed = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+    last_start = F.greatest(F.length("_n") - (window - 1), F.lit(1))
+    # candidate cut positions: 2..len-window+1 (a cut at i starts a new
+    # chunk at i); the guarded sequence never runs descending
+    cuts = F.filter(
+        F.sequence(F.lit(2), F.greatest(last_start, F.lit(2))),
+        lambda i: (i <= last_start)
+        & (
+            portable_hash_expr(F.substring(F.col("_n"), i, window)) % modulus == 0
+        ),
+    )
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    ends = F.concat(
+        F.transform(cuts, lambda c: c - 1), F.array(F.length("_n"))
+    )
+    chunked = normed.select(
+        "id",
+        "_n",
+        F.posexplode(F.arrays_zip(starts.alias("s"), ends.alias("e"))).alias(
+            "chunk_idx", "_se"
+        ),
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_se.s").cast("int").alias("start"),
+        F.expr("substring(_n, _se.s, _se.e - _se.s + 1)").alias("chunk"),
+    )
+    return chunked.select(
+        "id", "chunk_idx", "start", "chunk", F.md5("chunk").alias("chunk_hash")
+    )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    modulus: int = 64,
+) -> DataFrame:
+    """Chunk-level dedup over content-defined chunks: one row per distinct
+    chunk content with its spread — ``(chunk_hash, chunk_len, n_copies,
+    n_docs, keep_id)``.  One keyed aggregation (map-side combined) on the
+    narrow ``cdc_chunk_rows`` projection."""
+    rows = cdc_chunk_rows(df, id_col, text_col, window=window, modulus=modulus)
+    return rows.groupBy("chunk_hash").agg(
+        F.min(F.length("chunk")).cast("int").alias("chunk_len"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("id").alias("n_docs"),
+        F.min("id").alias("keep_id"),
+    )

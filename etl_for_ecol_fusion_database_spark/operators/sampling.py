@@ -354,3 +354,46 @@ def domain_mixture(
         ).cast("int").alias("n_repeats"),
     )
     return keyed
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    epoch: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic epoch-wise global permutation: assign every row a
+    dense position 0..N-1 in hash-of-(id, epoch) order — the "shuffle the
+    corpus each epoch" step of a training dataloader, computed WITHOUT a
+    single-partition global window.
+
+    Two-phase shape (same trick as ``pack_shards``): the hash space is cut
+    into ``n_buckets`` contiguous RANGES, rows rank within their range
+    (one shuffle, ``n_buckets``-way parallel), and range totals — a
+    ``n_buckets``-row relation — prefix-sum on the driver-sized side and
+    broadcast back as offsets.  position = range_offset + local_rank.
+    Every epoch is an independent permutation (the epoch salts the hash);
+    the result is a pure function of (id, epoch) — stable under
+    repartitioning, cluster size, and re-runs, which is what makes
+    training order reproducible across restarts.  Integer-only arithmetic
+    keeps the permutation ANSI-SQL-replayable.
+    """
+    h = F.pmod((F.col(id_col) + F.lit(epoch * 40_503)) * F.lit(KNUTH), F.lit(_P31))
+    rng = (_P31 + n_buckets - 1) // n_buckets
+    based = df.select("*", h.alias("_h"), (h / F.lit(rng)).cast("int").alias("_rng"))
+    w_rank = Window.partitionBy("_rng").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    ranked = based.withColumn("_rn", F.row_number().over(w_rank))
+    totals = based.groupBy("_rng").agg(F.count(F.lit(1)).alias("_tot"))
+    w_off = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.select(
+        F.col("_rng").alias("_orng"),
+        (F.sum("_tot").over(w_off) - F.col("_tot")).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ranked._rng == F.col("_orng"))
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias("position"),
+        )
+    )

@@ -648,3 +648,41 @@ def dsir_logweights(
         id_col,
         F.round(F.coalesce(F.col("_w"), F.lit(0.0)), 6).alias("dsir_logweight"),
     )
+
+
+def hashing_trick(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_features: int = 64,
+) -> DataFrame:
+    """Feature hashing (the "hashing trick"): map each token to one of
+    ``n_features`` buckets by hash and count per-document occurrences —
+    long-form ``(id, feature, tf)`` rows, the sparse bag-of-words input a
+    linear model / clustering step consumes without ever materializing a
+    vocabulary.
+
+    The whole point at 100 TB: NO vocabulary pass, no string dictionary to
+    broadcast, no OOV handling — the feature space is fixed up front and
+    every executor maps tokens independently (narrow projection), so the
+    only exchange is the final (id, feature) count aggregation with
+    map-side combine.  Collisions are the accepted trade (Weinberger et
+    al.); raise ``n_features`` to dilute them.  The portable md5-prefix
+    hash keeps bucket assignment ANSI-SQL-replayable; swap in xxhash64 for
+    production throughput.
+    """
+    from .dedup import portable_hash_expr
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(normalize_text(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "id", (portable_hash_expr("tok") % n_features).cast("int").alias("feature")
+        )
+        .groupBy("id", "feature")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(F.col("id").alias(id_col), "feature", "tf")
+    )

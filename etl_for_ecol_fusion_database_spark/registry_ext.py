@@ -5293,3 +5293,112 @@ def x6_per_key_sample(spark, sf_dir):
         "event_id",
         n=5,
     )
+
+
+_MD5POLY = (
+    "CAST(list_sum([(strpos('0123456789abcdef', md5({x})[i]) - 1)"
+    " * CAST(power(16, 12 - i) AS BIGINT)"
+    " for i in generate_series(1, 12)]) % 2147483647 AS BIGINT)"
+)
+
+
+@query(
+    "x3_hashing_features",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, {_MD5POLY.format(x='tok')} % 64 AS feature
+    FROM toks WHERE tok != ''
+)
+SELECT doc_id, CAST(feature AS INT) AS feature, COUNT(*) AS tf
+FROM h GROUP BY doc_id, feature
+""",
+)
+def x3_hashing_features(spark, sf_dir):
+    """X3 feature hashing (operators/text.hashing_trick): tokens map to 64
+    hash buckets with NO vocabulary pass — fixed feature space, no string
+    dictionary broadcast, no OOV handling; the sparse bag-of-words input a
+    linear probe / clustering step consumes.  Narrow projection + one
+    (id, feature) aggregation with map-side combine; collisions are the
+    accepted Weinberger-et-al trade."""
+    return text.hashing_trick(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_features=64
+    )
+
+
+@query(
+    "x1_cdc_chunks",
+    oracle=rf"""
+WITH n AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+c AS (
+    SELECT doc_id, norm,
+           [p for p in generate_series(2, greatest(length(norm) - 7, 1))
+              if {_MD5POLY.format(x='substr(norm, CAST(p AS INT), 8)')} % 64 = 0] AS cuts
+    FROM n
+),
+ch AS (
+    SELECT doc_id, norm,
+           unnest(list_concat([CAST(1 AS BIGINT)], cuts)) AS s,
+           unnest(list_concat([cc - 1 for cc in cuts],
+                              [CAST(length(norm) AS BIGINT)])) AS e
+    FROM c
+),
+chunks AS (
+    SELECT doc_id,
+           md5(substr(norm, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_hash,
+           e - s + 1 AS clen
+    FROM ch
+)
+SELECT chunk_hash, CAST(MIN(clen) AS INT) AS chunk_len, COUNT(*) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
+FROM chunks GROUP BY chunk_hash
+""",
+)
+def x1_cdc_chunks(spark, sf_dir):
+    """X1 content-defined chunking dedup (operators/dedup.cdc_chunk_dedup):
+    documents cut where the rolling 8-char window hash % 64 == 0 —
+    boundaries are a function of LOCAL content, so an edit perturbs only
+    the chunk it touches and shared regions keep producing identical
+    chunks (the storage-dedup trick applied to corpus curation; fixed-
+    width chunking shifts every boundary after an insertion).  Boundary
+    detection + chunk extraction is ONE narrow array-expression
+    projection; the only exchange is the chunk-hash aggregation."""
+    return dedup.cdc_chunk_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=8, modulus=64
+    )
+
+
+@query(
+    "x6_epoch_shuffle",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id,
+           ((doc_id + 1 * 40503) * {sampling.KNUTH}) % {sampling._P31} AS hh
+    FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY hh ASC, doc_id ASC) - 1 AS BIGINT)
+           AS position
+FROM h
+""",
+)
+def x6_epoch_shuffle(spark, sf_dir):
+    """X6 epoch shuffle (operators/sampling.epoch_shuffle): a dense global
+    permutation 0..N-1 in hash-of-(id, epoch) order — the per-epoch corpus
+    shuffle of a training dataloader — WITHOUT a single-partition global
+    window: rows rank within 64 contiguous hash RANGES (one 64-way
+    parallel shuffle) and the 64-row range totals prefix-sum and broadcast
+    back as offsets (the pack_shards two-phase trick).  Pure function of
+    (id, epoch): reproducible across restarts, cluster sizes, and
+    partitionings."""
+    return sampling.epoch_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", epoch=1
+    )

@@ -58,6 +58,7 @@ GLOBAL_WINDOW_OK = {
     "x3_zipf_slope": "rank window over the top-1000 vocabulary head (bounded by the preceding limit)",
     "x12_drift_psi": "bin-totals window over the 10-row post-aggregation bin table",
     "x6_concat_chunks": "bucket-offset window over per-bucket totals (n_buckets rows), same shape as pack_shards",
+    "x6_epoch_shuffle": "range-offset window over per-hash-range totals (n_buckets=64 rows), same shape as pack_shards",
     "x13_skew_report": "rank window over the post-limit 5-row hot-key relation",
 }
 

@@ -194,3 +194,127 @@ def test_orc_roundtrip_preserves_timestamps(spark, sf_dir):
     )
     diff = src.join(back, "event_id").filter(F.col("t") != F.col("t2")).count()
     assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# feature hashing
+# ---------------------------------------------------------------------------
+
+
+def test_hashing_trick_matches_python_replay(spark, sf_dir):
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    from etl_for_ecol_fusion_database_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 20")
+    got = {
+        (r.doc_id, r.feature): r.tf
+        for r in text_ops.hashing_trick(docs, n_features=64).collect()
+    }
+    expected = {}
+    for r in docs.select("doc_id", "text").collect():
+        norm = _re.sub(r"\s+", " ", r.text.lower()).strip()
+        toks = [t for t in norm.split(" ") if t]
+        c = Counter(
+            int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % 2_147_483_647 % 64
+            for t in toks
+        )
+        for f, n in c.items():
+            expected[(r.doc_id, f)] = n
+    assert got == expected
+
+
+def test_hashing_trick_tf_sums_to_token_count(spark, sf_dir):
+    from etl_for_ecol_fusion_database_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat_tot = (
+        text_ops.hashing_trick(docs, n_features=64)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("s"))
+    )
+    tok_tot = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("n"),
+    )
+    diff = feat_tot.join(tok_tot, "doc_id").filter("s != n").count()
+    assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_reassemble_to_document(spark, sf_dir):
+    """Chunks must tile the normalized document exactly (no gaps, no
+    overlaps): concatenating chunks in chunk_idx order reproduces it."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 50")
+    rows = dedup.cdc_chunk_rows(docs).orderBy("id", "chunk_idx").collect()
+    from collections import defaultdict
+
+    rebuilt = defaultdict(str)
+    for r in rows:
+        rebuilt[r.id] += r.chunk
+    import re as _re
+
+    for r in docs.select("doc_id", "text").collect():
+        norm = _re.sub(r"\s+", " ", r.text.lower()).strip()
+        assert rebuilt[r.doc_id] == norm
+
+
+def test_cdc_boundaries_are_edit_local(spark, sf_dir):
+    """A prefix edit must leave the chunks after the first boundary
+    untouched — THE content-defined-chunking property (fixed-width
+    chunking shifts every boundary instead)."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 50")
+    edited = docs.select("doc_id", F.concat(F.lit("zq xj "), F.col("text")).alias("text"))
+    orig = dedup.cdc_chunk_rows(docs).collect()
+    edit = dedup.cdc_chunk_rows(edited).collect()
+    from collections import defaultdict
+
+    o_by, e_by = defaultdict(set), defaultdict(set)
+    for r in orig:
+        o_by[r.id].add(r.chunk_hash)
+    for r in edit:
+        e_by[r.id].add(r.chunk_hash)
+    # docs that have >= 3 chunks must share all but their first chunk(s)
+    checked = 0
+    for i, hs in o_by.items():
+        if len(hs) >= 3:
+            shared = hs & e_by[i]
+            assert len(shared) >= len(hs) - 1, f"doc {i} lost chunks beyond the edited one"
+            checked += 1
+    assert checked > 0, "fixture produced no multi-chunk docs; weaken modulus"
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_dense_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = sampling.epoch_shuffle(docs, "doc_id", epoch=1)
+    pos = sorted(r.position for r in out.collect())
+    assert pos == list(range(n))
+
+
+def test_epoch_shuffle_epochs_differ_and_replay(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    p1 = {r.doc_id: r.position for r in sampling.epoch_shuffle(docs, "doc_id", epoch=1).collect()}
+    p2 = {r.doc_id: r.position for r in sampling.epoch_shuffle(docs, "doc_id", epoch=2).collect()}
+    assert p1 != p2
+    # python replay of epoch 1
+    ids = [r.doc_id for r in docs.collect()]
+    order = sorted(ids, key=lambda i: (((i + 40_503) * sampling.KNUTH) % sampling._P31, i))
+    assert p1 == {i: p for p, i in enumerate(order)}
+    # partitioning-independent
+    p1b = {
+        r.doc_id: r.position
+        for r in sampling.epoch_shuffle(docs.repartition(13), "doc_id", epoch=1).collect()
+    }
+    assert p1 == p1b
