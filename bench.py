@@ -136,6 +136,9 @@ HEADLINE = [
     "x3_hashing_features",
     "x1_cdc_chunks",
     "x6_epoch_shuffle",
+    "x2_random_projection",
+    "s21_jsonl_corrupt_records",
+    "s22_schema_evolution",
 ]
 
 

@@ -940,40 +940,52 @@ def cdc_chunk_rows(
     chunk-level dedup find large common spans between near-identical
     documents (the storage-dedup trick, applied to corpus curation).
 
-    Shape: boundary detection, chunk extraction, and hashing are ONE
-    narrow per-row projection (the cut-position list is an array
-    expression over the document — no explode-then-window, no shuffle at
-    all); callers aggregate the emitted rows as needed.  The md5-prefix
-    hash family keeps every boundary ANSI-SQL-replayable.
+    Shape (the codegen ROW form, same argument as ``shingle_rows``):
+    boundary detection explodes positions to rows so the per-position
+    rolling hash runs inside whole-stage codegen — an array-HOF filter
+    evaluates the md5 interpreted, one expression-interpreter round trip
+    per character position, measured ~2.5x slower at corpus scale.  Only
+    boundary rows (~1/modulus of positions) survive to the per-doc
+    ``lead`` window that turns cut positions into (start, end) spans, so
+    the one exchange in the plan shuffles cut rows, not character rows.
+    The md5-prefix hash family keeps every boundary ANSI-SQL-replayable.
     """
     from .text import normalize_text
 
     normed = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
     last_start = F.greatest(F.length("_n") - (window - 1), F.lit(1))
-    # candidate cut positions: 2..len-window+1 (a cut at i starts a new
-    # chunk at i); the guarded sequence never runs descending
-    cuts = F.filter(
-        F.sequence(F.lit(2), F.greatest(last_start, F.lit(2))),
-        lambda i: (i <= last_start)
-        & (
-            portable_hash_expr(F.substring(F.col("_n"), i, window)) % modulus == 0
-        ),
-    )
-    starts = F.concat(F.array(F.lit(1)), cuts)
-    ends = F.concat(
-        F.transform(cuts, lambda c: c - 1), F.array(F.length("_n"))
-    )
-    chunked = normed.select(
+    # candidate cut positions 2..len-window+1 as ROWS (codegen hash), plus
+    # a sentinel start-of-document row at position 1
+    cand = normed.select(
         "id",
-        "_n",
-        F.posexplode(F.arrays_zip(starts.alias("s"), ends.alias("e"))).alias(
-            "chunk_idx", "_se"
-        ),
-    ).select(
+        F.explode(
+            F.sequence(F.lit(2), F.greatest(last_start, F.lit(2)))
+        ).alias("p"),
+        last_start.alias("_ls"),
+        F.substring(F.col("_n"), F.col("p"), window).alias("_w"),
+    ).filter(
+        (F.col("p") <= F.col("_ls")) & (portable_hash_expr("_w") % modulus == 0)
+    )
+    # spans are derived from SLIM (id, p) rows — the window must not carry
+    # the document text, or shuffle bytes go quadratic in doc length
+    # (each of the ~len/modulus cut rows would drag the full text along)
+    sentinel = normed.select("id", F.lit(1).cast("int").alias("p"))
+    cuts = sentinel.unionByName(cand.select("id", F.col("p").cast("int").alias("p")))
+    w = Window.partitionBy("id").orderBy(F.col("p").asc())
+    spans = cuts.select(
         "id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("_se.s").cast("int").alias("start"),
-        F.expr("substring(_n, _se.s, _se.e - _se.s + 1)").alias("chunk"),
+        (F.row_number().over(w) - 1).cast("int").alias("chunk_idx"),
+        F.col("p").alias("start"),
+        (F.lead("p", 1).over(w) - 1).alias("_next"),
+    )
+    # one text shuffle total: each doc joins its span list once
+    chunked = spans.join(normed, "id").select(
+        "id",
+        "chunk_idx",
+        "start",
+        F.expr("substring(_n, start, coalesce(_next, length(_n)) - start + 1)").alias(
+            "chunk"
+        ),
     )
     return chunked.select(
         "id", "chunk_idx", "start", "chunk", F.md5("chunk").alias("chunk_hash")

@@ -445,3 +445,51 @@ def quantized_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce each vector to
+    ``out_dim`` components y_j = sum_i v_i * p(j, i), with sparse integer
+    plane components p in {-3..3} derived arithmetically from (j, i, seed)
+    — the deterministic-plane trick of the portable LSH signatures, so NO
+    projection matrix is materialized, stored, or shipped; every executor
+    recomputes components inline.  Unlike the signature family's small-
+    modulus lattice (``(37j + 101i) % 7`` has only 7 distinct plane
+    patterns — fine for sign bits, rank-deficient for a projection), the
+    components mix through a large prime first
+    (``((j*2654435761 + i*40503 + seed) % 1000003) % 7 - 3``), so all
+    ``out_dim`` planes are genuinely distinct.
+
+    This is the cheap pre-ANN dimensionality reduction: at 100 TB,
+    projecting 1024-dim float32 to 64 dims cuts index memory and every
+    downstream pairwise cost ~16x while JL preserves pairwise distances to
+    (1±eps).  ZERO shuffles — a pure per-row projection.
+
+    Components accumulate as SEQUENTIAL double folds (the portable-
+    signature convention) so every projected double is bit-identical to
+    an ANSI-SQL left-to-right replay; the throughput-first alternative is
+    the ``hyperplane_signatures_df`` reshape (posexplode + per-dim SUM
+    aggregates, codegen + map-side combine) whose float accumulation
+    order is partial-aggregation-dependent and therefore rows-only
+    checkable.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    ys = []
+    for j in range(out_dim):
+        arr = F.expr(
+            f"transform(sequence(0, size(_v) - 1),"
+            f" i -> _v[i] * CAST((({j}L * 2654435761 + i * 40503 + {seed})"
+            f" % 1000003) % 7 - 3 AS DOUBLE))"
+        )
+        ys.append(F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+    return base.select(F.col("id").alias(id_col), F.array(*ys).alias("proj"))

@@ -5402,3 +5402,125 @@ def x6_epoch_shuffle(spark, sf_dir):
     return sampling.epoch_shuffle(
         _t(spark, sf_dir, "documents").select("doc_id"), "doc_id", epoch=1
     )
+
+
+@query(
+    "x2_random_projection",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+    SELECT e.vec_id, sub.j,
+           round(list_sum([e.v[i + 1]
+                           * CAST(((sub.j * 2654435761 + i * 40503 + 42)
+                                   % 1000003) % 7 - 3 AS DOUBLE)
+                           for i in generate_series(0, len(e.v) - 1)]), 6) AS y
+    FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) sub
+)
+SELECT vec_id, CAST(j AS INT) AS dim_idx, y FROM p
+""",
+)
+def x2_random_projection(spark, sf_dir):
+    """X2 Johnson-Lindenstrauss random projection
+    (operators/similarity.random_projection): 64-dim embeddings reduced to
+    16 components against arithmetic integer planes recomputed inline (no
+    projection matrix stored or shipped) — the cheap pre-ANN
+    dimensionality reduction that cuts index memory and pairwise costs
+    ~4x here (~16x at production dims) while preserving pairwise
+    distances to (1±eps).  Zero shuffles: a pure per-row projection,
+    emitted long-form (vec_id, dim_idx, y) for the oracle hash.  JL
+    distance preservation is property-tested in
+    tests/test_round4b_ops.py."""
+    proj = similarity.random_projection(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", out_dim=16, seed=42
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim_idx", "_y")
+    ).select("vec_id", "dim_idx", F.round("_y", 6).alias("y"))
+
+
+@query(
+    "s21_jsonl_corrupt_records",
+    oracle="""
+WITH b AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'parsed' ELSE 'corrupt' END AS bucket,
+           CASE WHEN doc_id % 2 = 0 THEN length(text) ELSE 0 END AS chars
+    FROM documents
+)
+SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(chars) AS BIGINT) AS n_chars
+FROM b GROUP BY bucket
+""",
+)
+def s21_jsonl_corrupt_records(spark, sf_dir):
+    """S-surface malformed-input handling: a JSONL file where every other
+    line is deliberately broken, read back in PERMISSIVE mode with an
+    explicit ``_corrupt_record`` column — the production posture for
+    web-scraped corpora, where a bad line must become a quarantined row,
+    not a failed 100-TB job.  Valid lines must parse losslessly (the
+    oracle checks parsed-side char volume against the original parquet);
+    corrupt lines land in the quarantine bucket with their raw text
+    preserved for debugging.  DROPMALFORMED/FAILFAST are the same reader
+    one option away."""
+    out = _rt_tmpdir("jsonl_corrupt_")
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.to_json(F.struct("doc_id", "text")),
+        )
+        .otherwise(
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "text": broken'))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("doc_id long, text string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNull(), F.lit("parsed"))
+            .otherwise(F.lit("corrupt"))
+            .alias("bucket"),
+            F.coalesce(F.length("text"), F.lit(0)).alias("chars"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "s22_schema_evolution",
+    oracle="""
+WITH cut AS (SELECT MAX(doc_id) // 2 AS mid FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN doc_id <= mid THEN NULL ELSE n_chars END AS n_chars
+FROM documents CROSS JOIN cut
+""",
+)
+def s22_schema_evolution(spark, sf_dir):
+    """S-surface schema evolution: two parquet batches written with
+    DIFFERENT schemas (an early batch without ``n_chars``, a later batch
+    with it) read back through ``mergeSchema`` into one unified relation —
+    the long-lived-corpus reality where columns are added over time and
+    old files must keep scanning without a rewrite.  Early-batch rows
+    surface NULL for the added column (checked by the oracle); at scale
+    mergeSchema costs one footer read per file and scans stay pruned and
+    pushed-down per batch."""
+    out = _rt_tmpdir("schema_evo_")
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(F.floor(F.max("doc_id") / 2).alias("m")).collect()[0].m
+    docs.filter(F.col("doc_id") <= mid).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(out + "/b1")
+    docs.filter(F.col("doc_id") > mid).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(out + "/b2")
+    return spark.read.option("mergeSchema", True).parquet(out + "/b1", out + "/b2")

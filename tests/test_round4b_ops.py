@@ -318,3 +318,87 @@ def test_epoch_shuffle_epochs_differ_and_replay(spark, sf_dir):
         for r in sampling.epoch_shuffle(docs.repartition(13), "doc_id", epoch=1).collect()
     }
     assert p1 == p1b
+
+
+# ---------------------------------------------------------------------------
+# random projection (JL)
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_distances_on_average(spark, sf_dir):
+    """JL property (statistical): squared pairwise distances in the
+    projected space, rescaled by the expected plane second moment, track
+    the original distances on average.  Planes are in {-3..3} uniform-ish
+    (E[p^2]=4 for the %7-3 family), so E[||proj_a-proj_b||^2] =
+    out_dim * E[p^2] * ||a-b||^2 / ... we assert the RATIO distribution is
+    tight around its own median rather than deriving constants: relative
+    spread across pairs must be bounded."""
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 40")
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()
+    }
+    proj = {
+        r.vec_id: [float(x) for x in r.proj]
+        for r in similarity.random_projection(emb, out_dim=16).collect()
+    }
+    assert set(proj) == set(vecs)
+    import statistics
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(vecs)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = sqd(vecs[a], vecs[b])
+        if d0 > 0:
+            ratios.append(sqd(proj[a], proj[b]) / d0)
+    med = statistics.median(ratios)
+    assert med > 0
+    # loose JL concentration: at out_dim=16 eps ~ sqrt(log n / k) is ~0.5,
+    # and the fixture's 64-dim vectors have near-EQUAL pairwise distances
+    # (concentration of measure), so only a coarse band is meaningful —
+    # this catches broken plane arithmetic (rank collapse, sign bugs), not
+    # a tight eps bound
+    assert all(med / 8 <= r <= med * 5 for r in ratios), sorted(ratios)
+
+
+def test_random_projection_matches_python_replay(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 5")
+    got = {
+        r.vec_id: [float(x) for x in r.proj]
+        for r in similarity.random_projection(emb, out_dim=16, seed=42).collect()
+    }
+    for r in emb.collect():
+        v = [float(x) for x in r.embedding]
+        for j in range(16):
+            acc = 0.0
+            for i, x in enumerate(v):
+                acc += x * (((j * 2654435761 + i * 40503 + 42) % 1000003) % 7 - 3)
+            assert abs(acc - got[r.vec_id][j]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# corrupt-record JSONL + schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_corrupt_records_are_quarantined_not_fatal(spark, sf_dir):
+    out = {r.bucket: r for r in QUERIES["s21_jsonl_corrupt_records"](spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out["parsed"].n_rows + out["corrupt"].n_rows == n_docs
+    assert out["corrupt"].n_rows > 0 and out["parsed"].n_rows > 0
+    assert out["corrupt"].n_chars == 0
+
+
+def test_schema_evolution_nulls_only_in_old_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.floor(F.max("doc_id") / 2).alias("m")).collect()[0].m
+    back = QUERIES["s22_schema_evolution"](spark, sf_dir)
+    assert back.count() == docs.count()
+    bad = back.filter(
+        ((F.col("doc_id") <= mid) & F.col("n_chars").isNotNull())
+        | ((F.col("doc_id") > mid) & F.col("n_chars").isNull())
+    ).count()
+    assert bad == 0
