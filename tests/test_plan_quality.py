@@ -416,3 +416,67 @@ def test_dataset_card_two_keyed_shuffles(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 4b
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_probes_are_broadcast(spark, sf_dir):
+    """The Bloom membership probes must be broadcast joins (the whole point
+    — the filter ships to executors; benchmark grams never shuffle), and
+    the only data exchange is the final per-doc aggregation."""
+    plan = _final_plan(registry.QUERIES["x1_bloom_decontaminate"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_bucket_equi_join_no_cartesian(spark, sf_dir):
+    """The kNN self-join must be an equi-join on the bucket id (the
+    structural bound on the pair space) with the top-k window group-limited."""
+    plan = _final_plan(registry.QUERIES["x2_knn_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_per_key_sample_single_shuffle_grouplimit(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["x6_per_key_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles == 1, f"per-key sample should shuffle once\n{plan}"
+
+
+def test_cdc_chunks_span_window_is_slim(spark, sf_dir):
+    """The span window must partition by id over slim (id, p) cut rows —
+    never carry the document text (quadratic shuffle bytes) — and the text
+    re-attaches through exactly one join."""
+    plan = _final_plan(registry.QUERIES["x1_cdc_chunks"](spark, sf_dir))
+    # the window's input exchange carries no text column
+    m = re.search(r"Exchange hashpartitioning\(id#\d+L", plan)
+    assert m, plan
+    assert "WindowGroupLimit" not in plan  # plain lead/row_number window
+    # boundary hash runs in whole-stage codegen (no interpreted array HOF
+    # on the hot path): the explode feeding the filter sits inside a
+    # codegen stage
+    assert "Generate explode" in plan
+
+
+def test_epoch_shuffle_no_global_data_window(spark, sf_dir):
+    """The only single-partition exchange may feed the 64-row range-totals
+    window; the full relation must rank inside hash-range partitions."""
+    plan = _final_plan(registry.QUERIES["x6_epoch_shuffle"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert re.search(r"Exchange hashpartitioning\(_rng", plan), plan
+
+
+def test_random_projection_zero_shuffle(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["x2_random_projection"](spark, sf_dir))
+    assert "Exchange" not in plan, f"projection must be narrow\n{plan}"
+
+
+def test_hashing_features_single_aggregation_exchange(spark, sf_dir):
+    plan = _final_plan(registry.QUERIES["x3_hashing_features"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_shuffles == 1, f"hashing trick should shuffle once\n{plan}"
+    assert "partial_count" in plan  # map-side combine before the exchange
