@@ -486,10 +486,14 @@ def random_projection(
     )
     ys = []
     for j in range(out_dim):
-        arr = F.expr(
-            f"transform(sequence(0, size(_v) - 1),"
-            f" i -> _v[i] * CAST((({j}L * 2654435761 + i * 40503 + {seed})"
-            f" % 1000003) % 7 - 3 AS DOUBLE))"
+        # fused multiply-accumulate fold (no intermediate transform()
+        # array): one HOF pass per component, same left-to-right order
+        ys.append(
+            F.expr(
+                f"aggregate(sequence(0, size(_v) - 1), CAST(0.0 AS DOUBLE),"
+                f" (acc, i) -> acc + _v[i]"
+                f" * CAST((({j}L * 2654435761 + i * 40503 + {seed})"
+                f" % 1000003) % 7 - 3 AS DOUBLE))"
+            )
         )
-        ys.append(F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x))
     return base.select(F.col("id").alias(id_col), F.array(*ys).alias("proj"))

@@ -5481,9 +5481,18 @@ def s21_jsonl_corrupt_records(spark, sf_dir):
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out)
     )
+    # the quarantine predicate references doc_id AND _corrupt_record: a
+    # projection that referenced ONLY the corrupt column would be rejected
+    # by the JSON source (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN) once column pruning strips everything else — e.g. under a
+    # bare .count() — and a parse that yields no id belongs in quarantine
+    # anyway
     return (
         back.select(
-            F.when(F.col("_corrupt_record").isNull(), F.lit("parsed"))
+            F.when(
+                F.col("doc_id").isNotNull() & F.col("_corrupt_record").isNull(),
+                F.lit("parsed"),
+            )
             .otherwise(F.lit("corrupt"))
             .alias("bucket"),
             F.coalesce(F.length("text"), F.lit(0)).alias("chars"),
