@@ -139,6 +139,8 @@ HEADLINE = [
     "x2_random_projection",
     "s21_jsonl_corrupt_records",
     "s22_schema_evolution",
+    "x9_curation_v3",
+    "s23_binaryfile_scan",
 ]
 
 

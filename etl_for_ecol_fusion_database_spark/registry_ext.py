@@ -5533,3 +5533,164 @@ def s22_schema_evolution(spark, sf_dir):
         "overwrite"
     ).parquet(out + "/b2")
     return spark.read.option("mergeSchema", True).parquet(out + "/b1", out + "/b2")
+
+
+def _curation_v3_oracle() -> str:
+    """DuckDB replay of the round-4b composed pipeline — Gopher rules,
+    Bloom decontamination, per-source cap, epoch shuffle — generated from
+    the same constants as the operators so the stages cannot drift."""
+    m_bits = 1 << 20
+    pos_list = ", ".join(
+        f"(x * {dedup._PORT_A[h]} + {dedup._PORT_B[h]}) % {dedup._P_PORT} % {m_bits}"
+        for h in range(3)
+    )
+    probe_pred = " AND ".join(
+        f"(t.x * {dedup._PORT_A[h]} + {dedup._PORT_B[h]}) % {dedup._P_PORT}"
+        f" % {m_bits} IN (SELECT pos FROM filt)"
+        for h in range(3)
+    )
+    return rf"""
+WITH t AS (
+    SELECT doc_id, source, text,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           length(regexp_replace(text, '\s', '', 'g')) AS n_nonws
+    FROM documents
+),
+gq AS (
+    SELECT doc_id,
+           (len(toks) >= 50 AND len(toks) <= 100000
+            AND n_nonws::DOUBLE / len(toks)::DOUBLE >= 3.0
+            AND n_nonws::DOUBLE / len(toks)::DOUBLE <= 10.0
+            AND len(regexp_extract_all(text, '(#|\.\.\.)'))::DOUBLE
+                / len(toks)::DOUBLE <= 0.1
+            AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                / len(toks)::DOUBLE >= 0.8
+            AND len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) >= 2
+           ) AS keep
+    FROM t
+),
+ntoks AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS nt
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(CASE WHEN len(nt) >= 5
+                       THEN list_distinct([nt[i] || ' ' || nt[i+1] || ' ' || nt[i+2]
+                                           || ' ' || nt[i+3] || ' ' || nt[i+4]
+                                           for i in generate_series(1, len(nt) - 4)])
+                       ELSE list_distinct(nt) END) AS shingle
+    FROM ntoks
+),
+h AS (
+    SELECT doc_id, source,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(shingle)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)])
+                % {dedup._P_PORT} AS BIGINT) AS x
+    FROM sh
+),
+filt AS (
+    SELECT DISTINCT unnest([{pos_list}]) AS pos
+    FROM h WHERE source = 'src0'
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, x FROM h WHERE source != 'src0') t
+    WHERE {probe_pred}
+),
+kept AS (
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN gq ON gq.doc_id = d.doc_id AND gq.keep
+    WHERE d.source != 'src0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+capped AS (
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * {sampling.KNUTH}) % {sampling._P31} ASC,
+                            doc_id ASC) AS rn
+        FROM kept) WHERE rn <= 30
+)
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY ((doc_id + 40503) * {sampling.KNUTH}) % {sampling._P31} ASC,
+                    doc_id ASC) - 1 AS BIGINT) AS position
+FROM capped
+"""
+
+
+@query("x9_curation_v3", oracle=_curation_v3_oracle())
+def x9_curation_v3(spark, sf_dir):
+    """X9 curation pipeline v3 — the round-4b operators composed end to
+    end, the shape a pretraining data refresh actually runs: Gopher
+    quality rules gate documents (zero-shuffle signals), the Bloom filter
+    drops benchmark-contaminated docs (broadcast probes, constant filter
+    memory), a per-source cap bounds any one source's contribution
+    (rank-over-hash, WindowGroupLimit), and the survivors get their epoch
+    training order (hash-range permutation, no global window).  One
+    composed lazy plan; the oracle replays all four stages from the same
+    constants."""
+    from .operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    good = text.gopher_rules(docs).filter("keep").select("doc_id")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    clean = (
+        dedup.bloom_decontaminate_report(train, bench, "doc_id", "text", n=5)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = (
+        train.select("doc_id", "source")
+        .join(good, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+    )
+    capped = sampling_ops.per_key_sample(kept, ["source"], "doc_id", n=30).select(
+        "doc_id", "source"
+    )
+    return sampling_ops.epoch_shuffle(capped, "doc_id", epoch=1)
+
+
+@query(
+    "s23_binaryfile_scan",
+    oracle="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS length,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 20
+""",
+)
+def s23_binaryfile_scan(spark, sf_dir):
+    """S-surface binary-file ingest: raw files read through Spark's
+    ``binaryFile`` source into (path, length, content) rows — the entry
+    point for image/audio corpora, where the bytes land in an opaque
+    binary column and the X4 decode operators take over.  Contents are
+    verified by md5 against the source-of-truth table (byte-for-byte
+    fidelity through the filesystem round trip).  The 20-file fixture is
+    written driver-side as test scaffolding; the OPERATOR under test is
+    the distributed scan, which partitions over files at corpus scale
+    (maxPartitionBytes applies; no shuffle)."""
+    import os
+
+    out = _rt_tmpdir("binfiles_")
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(out, f"{int(r.doc_id):05d}.txt"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -59,6 +59,7 @@ GLOBAL_WINDOW_OK = {
     "x12_drift_psi": "bin-totals window over the 10-row post-aggregation bin table",
     "x6_concat_chunks": "bucket-offset window over per-bucket totals (n_buckets rows), same shape as pack_shards",
     "x6_epoch_shuffle": "range-offset window over per-hash-range totals (n_buckets=64 rows), same shape as pack_shards",
+    "x9_curation_v3": "composes epoch_shuffle (same 64-row range-offset window)",
     "x13_skew_report": "rank window over the post-limit 5-row hot-key relation",
 }
 

@@ -402,3 +402,50 @@ def test_schema_evolution_nulls_only_in_old_batch(spark, sf_dir):
         | ((F.col("doc_id") > mid) & F.col("n_chars").isNull())
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# curation v3 + binaryFile scan
+# ---------------------------------------------------------------------------
+
+
+def test_curation_v3_respects_all_gates(spark, sf_dir):
+    """Every surviving doc must individually pass each gate: gopher keep,
+    not bloom-contaminated (5-gram), not from the benchmark source, and no
+    source may exceed the 30-doc cap; positions are dense 0..N-1."""
+    from etl_for_ecol_fusion_database_spark.operators import text as text_ops
+
+    out = QUERIES["x9_curation_v3"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    keep = {r.doc_id for r in text_ops.gopher_rules(docs).filter("keep").collect()}
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    dirty = {
+        r.doc_id
+        for r in dedup.bloom_decontaminate_report(train, bench, n=5)
+        .filter("contaminated")
+        .collect()
+    }
+    srcs = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    from collections import Counter
+
+    per_src = Counter()
+    for r in out:
+        assert r.doc_id in keep
+        assert r.doc_id not in dirty
+        assert srcs[r.doc_id] != "src0"
+        per_src[r.source] += 1
+    assert all(n <= 30 for n in per_src.values())
+    assert sorted(r.position for r in out) == list(range(len(out)))
+
+
+def test_binaryfile_scan_is_byte_faithful(spark, sf_dir):
+    import hashlib
+
+    out = {r.doc_id: r for r in QUERIES["s23_binaryfile_scan"](spark, sf_dir).collect()}
+    src = load_table(spark, sf_dir, "documents").filter("doc_id < 20").collect()
+    assert len(out) == len(src)
+    for r in src:
+        b = r.text.encode("utf-8")
+        assert out[r.doc_id].length == len(b)
+        assert out[r.doc_id].content_md5 == hashlib.md5(b).hexdigest()
