@@ -141,6 +141,9 @@ HEADLINE = [
     "s22_schema_evolution",
     "x9_curation_v3",
     "s23_binaryfile_scan",
+    "x2_index_persist",
+    "x1_incremental_dedup",
+    "x3_bpe_pair_counts",
 ]
 
 

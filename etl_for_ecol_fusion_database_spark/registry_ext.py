@@ -4702,27 +4702,10 @@ FROM ranked WHERE rank <= 10
 """
 
 
-@query("x2_ivf_pq_ann", oracle=_ivf_pq_oracle())
-def x2_ivf_pq_ann(spark, sf_dir):
-    """X2 IVF-PQ ANN end to end — the architecture a 100-TB embedding
-    corpus actually serves with: an L2 coarse quantizer (16 Voronoi cells)
-    bounds the search to 4 probed cells per query, and within candidates
-    ranking is PQ asymmetric distance (per-query 4x4 lookup tables against
-    4 codes/vector) — full-precision corpus floats are touched at INDEX
-    time only, never at query time.
-
-    Plan shape: the coarse cell is a ROW-LOCAL argmin projection over
-    broadcast centroid literals (clustering.assign_clusters — zero
-    shuffle); PQ codes come from pq_encode's plan-level union pivoted to
-    one row/vector (one keyed aggregation).  Chaining all five argmins as
-    row-local projections instead hung the OPTIMIZER — CollapseProject
-    re-inlines each 16-fold `least` into every `when` branch of the next
-    stage, exploding the expression tree — so the code pivot deliberately
-    pays one co-keyed join.  The 40-row probe table and the 10-row
-    distance tables join as broadcasts, and the per-query rank window
-    (optimizer-capped via WindowGroupLimit) is the only other shuffle.
-    The driver-side probe/table build folds doubles left-to-right,
-    bit-identical to the oracle's list_sum replay."""
+def _ivf_pq_search(spark, sf_dir, index_sink: str | None = None):
+    """Shared IVF-PQ pipeline; with ``index_sink`` the (vec_id, cell,
+    c0..c3) index relation is round-tripped through parquet before serving
+    — the deployment split between index build and query time."""
     from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
     from pyspark.sql.window import Window
 
@@ -4785,7 +4768,14 @@ def x2_ivf_pq_ann(spark, sf_dir):
     # truncates the argmin expression lineage: without it, Catalyst's
     # constraint propagation re-walks the 16x64-term assignment tree
     # through every downstream join and OOMs the driver.
-    base = cells.join(wide, "vec_id").localCheckpoint(eager=False)
+    base = cells.join(wide, "vec_id")
+    if index_sink is not None:
+        # really write the artifact and serve from the files — lineage
+        # truncation comes free with the round trip
+        base.write.mode("overwrite").parquet(index_sink)
+        base = spark.read.parquet(index_sink)
+    else:
+        base = base.localCheckpoint(eager=False)
     dexpr = None
     for j in range(4):
         case = F.when(F.col(f"c{j}") == 0, F.col(f"d_{j}_0"))
@@ -4803,6 +4793,42 @@ def x2_ivf_pq_ann(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("q_id", "vec_id", F.round("adc", 6).alias("adc_dist"), "rank")
     )
+
+
+@query("x2_ivf_pq_ann", oracle=_ivf_pq_oracle())
+def x2_ivf_pq_ann(spark, sf_dir):
+    """X2 IVF-PQ ANN end to end — the architecture a 100-TB embedding
+    corpus actually serves with: an L2 coarse quantizer (16 Voronoi cells)
+    bounds the search to 4 probed cells per query, and within candidates
+    ranking is PQ asymmetric distance (per-query 4x4 lookup tables against
+    4 codes/vector) — full-precision corpus floats are touched at INDEX
+    time only, never at query time.
+
+    Plan shape: the coarse cell is a ROW-LOCAL argmin projection over
+    broadcast centroid literals (clustering.assign_clusters — zero
+    shuffle); PQ codes come from pq_encode's plan-level union pivoted to
+    one row/vector (one keyed aggregation).  Chaining all five argmins as
+    row-local projections instead hung the OPTIMIZER — CollapseProject
+    re-inlines each 16-fold `least` into every `when` branch of the next
+    stage, exploding the expression tree — so the code pivot deliberately
+    pays one co-keyed join.  The 40-row probe table and the 10-row
+    distance tables join as broadcasts, and the per-query rank window
+    (optimizer-capped via WindowGroupLimit) is the only other shuffle.
+    The driver-side probe/table build folds doubles left-to-right,
+    bit-identical to the oracle's list_sum replay."""
+    return _ivf_pq_search(spark, sf_dir)
+
+
+@query("x2_index_persist", oracle=_ivf_pq_oracle())
+def x2_index_persist(spark, sf_dir):
+    """X2 index-artifact persistence: the SAME IVF-PQ search, but the
+    (vec_id, cell, codes) index relation is written to parquet and served
+    from the files — the real build/serve split of a deployed ANN index
+    (index built once over the corpus, queries touch only the 5-small-int
+    artifact).  Identical oracle to x2_ivf_pq_ann: persistence must not
+    change a single ranked result.  At scale the artifact partitions by
+    cell, so probing prunes to the probed cells' files."""
+    return _ivf_pq_search(spark, sf_dir, index_sink=_rt_tmpdir("ivfpq_index_"))
 
 
 @query(
@@ -5694,3 +5720,109 @@ def s23_binaryfile_scan(spark, sf_dir):
         F.col("length"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "x1_incremental_dedup",
+    oracle=r"""
+WITH cut AS (SELECT MAX(doc_id) // 2 AS mid FROM documents),
+fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+hist AS (
+    SELECT fingerprint, MIN(doc_id) AS dup_of
+    FROM fp CROSS JOIN cut WHERE doc_id <= mid GROUP BY fingerprint
+)
+SELECT fp.doc_id, fp.fingerprint, h.dup_of,
+       h.dup_of IS NULL AS is_new_unique
+FROM fp CROSS JOIN cut LEFT JOIN hist h USING (fingerprint)
+WHERE fp.doc_id > mid
+""",
+)
+def x1_incremental_dedup(spark, sf_dir):
+    """X1 incremental dedup — the ingest-time workflow: a NEW batch of
+    documents is checked against the HISTORICAL fingerprint store (already
+    materialized by earlier runs) instead of re-deduping the whole corpus.
+    New docs matching a historical fingerprint report the surviving
+    historical id; the rest are genuinely new.  The historical side is the
+    slim (fingerprint, min_id) relation — at 100 TB that store lives as a
+    bucketed table keyed on the fingerprint, so the daily batch joins
+    shuffle-free on the bucket; here it is one equi-join, new-batch-sized
+    output, no full-corpus rescan."""
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(F.floor(F.max("doc_id") / 2).alias("m")).collect()[0].m
+    fp = text.fingerprint_md5(docs)
+    hist = (
+        fp.filter(F.col("doc_id") <= mid)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        fp.filter(F.col("doc_id") > mid)
+        .join(hist, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_new_unique"),
+        )
+    )
+
+
+@query(
+    "x3_bpe_pair_counts",
+    oracle=r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS w
+    FROM documents
+),
+pairs AS (
+    SELECT unnest([w[i:i+1] for i in generate_series(1, length(w) - 1)]) AS pair
+    FROM toks WHERE length(w) >= 2
+),
+counted AS (
+    SELECT pair, COUNT(*) AS n_pairs FROM pairs GROUP BY pair
+),
+ranked AS (
+    SELECT pair, n_pairs,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair ASC) AS INT) AS rank
+    FROM counted
+)
+SELECT pair, n_pairs, rank FROM ranked WHERE rank <= 50
+""",
+)
+def x3_bpe_pair_counts(spark, sf_dir):
+    """X3 BPE merge statistics: corpus-wide adjacent-symbol pair counts —
+    the inner loop of byte-pair-encoding tokenizer training (each round
+    merges the most frequent pair; this relation IS that argmax, top-50
+    for inspection).  Two explodes (words, then in-word adjacent char
+    pairs) stay narrow; the only exchange is the pair-count aggregation,
+    bounded by |charset|² keys with map-side combine, and the top-50 is a
+    TakeOrderedAndProject.  Successive merge rounds re-run this over the
+    re-segmented corpus; the per-round cost is one scan + one bounded
+    shuffle at any corpus size."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(text.tokens(text.normalize_text("text"))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        counted.orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_pairs"), F.asc("pair")))
+            .cast("int"),
+        )
+    )
+    return ranked

@@ -449,3 +449,58 @@ def test_binaryfile_scan_is_byte_faithful(spark, sf_dir):
         b = r.text.encode("utf-8")
         assert out[r.doc_id].length == len(b)
         assert out[r.doc_id].content_md5 == hashlib.md5(b).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# index persistence, incremental dedup, BPE pairs
+# ---------------------------------------------------------------------------
+
+
+def test_index_persist_equals_in_memory_search(spark, sf_dir):
+    """Serving from the written parquet index must reproduce the in-memory
+    IVF-PQ results exactly."""
+    a = {tuple(r) for r in QUERIES["x2_ivf_pq_ann"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in QUERIES["x2_index_persist"](spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_incremental_dedup_agrees_with_full_recompute(spark, sf_dir):
+    """The incremental check must flag exactly the new docs whose
+    normalized text equals some historical doc's."""
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.floor(F.max("doc_id") / 2).alias("m")).collect()[0].m
+    norm = {
+        r.doc_id: _re.sub(r"\s+", " ", r.text.lower()).strip()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    hist = {}
+    for i in sorted(norm):
+        if i <= mid:
+            hist.setdefault(norm[i], i)
+    out = {r.doc_id: r for r in QUERIES["x1_incremental_dedup"](spark, sf_dir).collect()}
+    assert set(out) == {i for i in norm if i > mid}
+    for i, r in out.items():
+        assert r.dup_of == hist.get(norm[i])
+        assert r.is_new_unique == (norm[i] not in hist)
+
+
+def test_bpe_pair_counts_match_python(spark, sf_dir):
+    import re as _re
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    c = Counter()
+    for r in docs:
+        for w in _re.sub(r"\s+", " ", r.text.lower()).strip().split(" "):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.pair, r.n_pairs)
+        for r in QUERIES["x3_bpe_pair_counts"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
