@@ -144,6 +144,7 @@ HEADLINE = [
     "x2_index_persist",
     "x1_incremental_dedup",
     "x3_bpe_pair_counts",
+    "x4_media_resize",
 ]
 
 

@@ -5826,3 +5826,35 @@ def x3_bpe_pair_counts(spark, sf_dir):
         )
     )
     return ranked
+
+
+@query(
+    "x4_media_resize",
+    oracle=r"""
+WITH p AS (
+    SELECT doc_id, text, length(text) AS n,
+           greatest((length(text) + 15) // 16, 1) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(h AS INT) AS src_h, 16 AS src_w, 8 AS out_h, 8 AS out_w,
+       array_to_string(
+         flatten([[CAST(CASE WHEN (r * h // 8) * 16 + (c * 2) + 1 <= n
+                              THEN ascii(text[CAST((r * h // 8) * 16 + (c * 2) + 1 AS INT)])
+                              ELSE 0 END AS VARCHAR)
+                   for c in generate_series(0, 7)]
+                  for r in generate_series(0, 7)]), ',') AS pixels_sig
+FROM p
+""",
+)
+def x4_media_resize(spark, sf_dir):
+    """X4 multimodal resize plumbing (operators/multimodal.resize_images):
+    the media BLOB as a 16-wide 1-channel image, nearest-neighbor
+    downsampled to 8x8 inside an Arrow mapInPandas batch — the resolution-
+    normalization step of a multimodal preprocessing pipeline (real codec
+    path swaps in PIL.Image.resize behind the import guard; the Spark-side
+    batch shape is what this verifies).  Pure integer index arithmetic, so
+    the DuckDB oracle replays every sampled pixel; no shuffle — a narrow
+    Arrow map over the corpus."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, src_w=16, out_h=8, out_w=8)

@@ -504,3 +504,36 @@ def test_bpe_pair_counts_match_python(spark, sf_dir):
         .collect()
     ]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# media resize
+# ---------------------------------------------------------------------------
+
+
+def test_media_resize_matches_python_replay(spark, sf_dir):
+    from etl_for_ecol_fusion_database_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 25")
+    media = multimodal.documents_as_media(docs)
+    out = {r.doc_id: r for r in multimodal.resize_images(media).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        buf = r.text.encode("utf-8")
+        n = len(buf)
+        h = max((n + 15) // 16, 1)
+        px = []
+        for rr in range(8):
+            for cc in range(8):
+                idx = (rr * h // 8) * 16 + cc * 2
+                px.append(buf[idx] if idx < n else 0)
+        got = out[r.doc_id]
+        assert got.pixels_sig == ",".join(str(p) for p in px)
+        assert (got.src_h, got.src_w, got.out_h, got.out_w) == (h, 16, 8, 8)
+
+
+def test_media_resize_output_size_is_constant(spark, sf_dir):
+    from etl_for_ecol_fusion_database_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = multimodal.resize_images(media, out_h=4, out_w=4).collect()
+    assert all(len(r.pixels_sig.split(",")) == 16 for r in out)
