@@ -306,3 +306,70 @@ def view_click_interval_join(
             - F.unix_micros(F.col("view_ts").cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+RUNNING_VALUE_OUT = "user_id LONG, n_events LONG, total_value DOUBLE, max_value DOUBLE"
+
+
+def running_value_stats(events: DataFrame) -> DataFrame:
+    """Per-user running value statistics via ``transformWithStateInPandas``
+    — the Spark-4 arbitrary-state API (StatefulProcessor + typed state
+    handles), the successor to ``applyInPandasWithState``: state is a
+    named, schema'd ValueState the runtime owns (checkpointed, TTL-able,
+    queryable via the state data source), not an opaque tuple.
+
+    Semantics: unbounded per-user (count, sum, max) over ``value``,
+    re-emitted for every user a micro-batch touches (update mode).  The
+    reducer is a commutative monoid fold, so multi-batch replay converges
+    to the batch aggregate regardless of file/batch boundaries — asserted
+    in tests/test_streaming.py.  Scale posture: O(1) state per key, one
+    hash shuffle on the key — identical to the applyInPandasWithState
+    operator it modernizes (running_latest_status).
+
+    Runtime note: the transformWithState driver worker requires
+    ``google.protobuf`` (its state-server protocol); in containers
+    without it the query fails at initialization — the parity test skips
+    there and applyInPandasWithState remains the exercised path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n LONG, total DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, None
+            if self._stats.exists():
+                n, total, mx = self._stats.get()
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": total,
+                        "max_value": mx,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningValueStats(),
+        outputStructType=RUNNING_VALUE_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

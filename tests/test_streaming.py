@@ -253,3 +253,53 @@ def test_docs_curation_stream_matches_batch(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(60)
     assert spark.read.parquet(dest).count() == len(got_fps)
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (the Spark-4 StatefulProcessor API):
+    after a full availableNow replay, the final emission per user must
+    equal the batch (count, sum, max) aggregate — the monoid fold is
+    batch-boundary-insensitive.
+
+    Runtime dependency: the transformWithState driver worker speaks
+    protobuf to the state server; containers without ``google.protobuf``
+    can't run it (applyInPandasWithState — test above — is the
+    in-container-exercised stateful path), so this skips there and runs
+    wherever protobuf ships (any real cluster)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed; transformWithState driver worker needs it")
+    stream = es.running_value_stats(es.read_events_stream(spark, sf_dir))
+    es.run_to_memory(stream, "t_running_value", output_mode="update")
+    emitted = spark.table("t_running_value")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("total_value", "max_value"), "n_events").alias("m"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select("user_id", "n_events", "m.total_value", "m.max_value")
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in final.collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("t"),
+            F.max("value").alias("m"),
+        )
+    )
+    expected = {r.user_id: (r.n, round(r.t, 6), r.m) for r in batch.collect()}
+    # float sums: compare count/max exactly, totals to 6dp
+    assert set(got) == set(expected)
+    for u in got:
+        assert got[u][0] == expected[u][0], u
+        assert got[u][2] == expected[u][2], u
+        assert abs(got[u][1] - expected[u][1]) < 1e-6, u
