@@ -145,6 +145,7 @@ HEADLINE = [
     "x1_incremental_dedup",
     "x3_bpe_pair_counts",
     "x4_media_resize",
+    "x11_hll_intersection",
 ]
 
 

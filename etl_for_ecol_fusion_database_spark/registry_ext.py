@@ -5858,3 +5858,86 @@ def x4_media_resize(spark, sf_dir):
     Arrow map over the corpus."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.resize_images(media, src_w=16, out_h=8, out_w=8)
+
+
+@query(
+    "x11_hll_intersection",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+m AS (
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a
+                                       UNION SELECT user_id FROM b)) AS BIGINT)
+               AS n_union,
+           CAST((SELECT COUNT(*) FROM a
+                 WHERE user_id IN (SELECT user_id FROM b)) AS BIGINT)
+               AS n_intersect
+    )
+SELECT n_a, n_b, n_union, n_intersect, TRUE AS within_tolerance FROM m
+""",
+)
+def x11_hll_intersection(spark, sf_dir):
+    """X11 sketch set algebra: |A ∩ B| for two user cohorts estimated by
+    inclusion-exclusion over MERGEABLE HLL sketches (|A| + |B| − |A ∪ B|,
+    where the union sketch is hll_union_agg of the per-cohort sketches —
+    never a rescan of the union).  This is the audience-overlap query a
+    100-TB event log answers from pre-built per-segment sketches in
+    O(sketch) time; exact intersection needs a shuffle of both cohorts.
+    Same accuracy-report pattern as x11_hll_accuracy: exact values are
+    the oracle-checked columns, the boolean asserts the estimate within
+    tolerance (inclusion-exclusion compounds the error of three
+    estimates, so the guard is 3x the single-sketch rsd)."""
+    from .operators import incremental
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click")
+    b = e.filter(F.col("event_type") == "view")
+    sk_a = incremental.hll_state(a.withColumn("g", F.lit(1)), ["g"], "user_id")
+    sk_b = incremental.hll_state(b.withColumn("g", F.lit(1)), ["g"], "user_id")
+    est_a = incremental.finalize_hll_state(sk_a).select(
+        F.col("approx_distinct").alias("est_a")
+    )
+    est_b = incremental.finalize_hll_state(sk_b).select(
+        F.col("approx_distinct").alias("est_b")
+    )
+    est_u = incremental.finalize_hll_state(
+        incremental.merge_hll_states(sk_a, sk_b)
+    ).select(F.col("approx_distinct").alias("est_u"))
+    n_a = a.agg(F.countDistinct("user_id").cast("long").alias("n_a"))
+    n_b = b.agg(F.countDistinct("user_id").cast("long").alias("n_b"))
+    n_u = (
+        a.select("user_id")
+        .union(b.select("user_id"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_union"))
+    )
+    n_i = (
+        a.select("user_id")
+        .distinct()
+        .join(b.select("user_id").distinct(), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_intersect"))
+    )
+    est = (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select((F.col("est_a") + F.col("est_b") - F.col("est_u")).alias("est_i"))
+    )
+    return (
+        n_a.crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_i))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_intersect",
+            (
+                F.abs(F.col("est_i") - F.col("n_intersect"))
+                <= F.greatest(
+                    F.lit(0.06) * F.col("n_union"), F.lit(3.0)
+                )
+            ).alias("within_tolerance"),
+        )
+    )

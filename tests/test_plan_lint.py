@@ -43,6 +43,7 @@ BNLJ_OK = {
     "x2_pq_adc_topk": "10 broadcast query distance-table rows crossed into the PQ-code relation (bounded probe set)",
     "x12_partition_completeness": "1-row mean-volume relation crossed into the |days|-row spine join",
     "x13_skew_report": "1-row key-stats relation crossed into the post-limit 5-row hot-key relation",
+    "x11_hll_intersection": "five 1-row aggregate/sketch-estimate results cross-joined into the report row",
 }
 
 # A single-partition exchange feeding a Window is only safe when the

@@ -537,3 +537,11 @@ def test_media_resize_output_size_is_constant(spark, sf_dir):
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
     out = multimodal.resize_images(media, out_h=4, out_w=4).collect()
     assert all(len(r.pixels_sig.split(",")) == 16 for r in out)
+
+
+def test_hll_intersection_estimate_within_tolerance(spark, sf_dir):
+    r = QUERIES["x11_hll_intersection"](spark, sf_dir).collect()[0]
+    assert r.within_tolerance
+    assert r.n_intersect <= min(r.n_a, r.n_b)
+    assert r.n_union <= r.n_a + r.n_b
+    assert r.n_union == r.n_a + r.n_b - r.n_intersect
