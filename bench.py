@@ -146,6 +146,7 @@ HEADLINE = [
     "x3_bpe_pair_counts",
     "x4_media_resize",
     "x11_hll_intersection",
+    "x7_asof_status_rollup",
 ]
 
 

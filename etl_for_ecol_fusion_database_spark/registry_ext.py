@@ -5941,3 +5941,51 @@ def x11_hll_intersection(spark, sf_dir):
             ).alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "x7_asof_status_rollup",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+    FROM events
+),
+changes AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM ordered WHERE _prev IS NULL OR event_type <> _prev
+),
+iv AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM changes
+),
+pit AS (SELECT TIMESTAMP '2024-01-15 00:00:00' AS d)
+SELECT event_type AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM iv CROSS JOIN pit
+WHERE valid_from <= d AND (valid_to IS NULL OR valid_to > d)
+GROUP BY event_type
+""",
+)
+def x7_asof_status_rollup(spark, sf_dir):
+    """X7 point-in-time rollup over the SCD2 intervals — the QUERY side of
+    slowly-changing history (x7_scd2_status_intervals is the build side):
+    'how many users were in each status as of time D' answered by an
+    interval containment filter on the dimension, never a scan of raw
+    events up to D.  This is the reference's whole point-in-time cutoff
+    pattern (SURVEY §3.3) generalized to an SCD2 table: at 100 TB the
+    interval table is ~|keys| rows vs the unbounded event log, and the
+    as-of filter prunes to currently-valid rows before the tiny status
+    rollup."""
+    from .operators import history
+
+    iv = history.scd2_intervals(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", tiebreak="event_id"
+    )
+    d = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        iv.filter((F.col("valid_from") <= d) & (F.col("valid_to").isNull() | (F.col("valid_to") > d)))
+        .groupBy(F.col("event_type").alias("status"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
