@@ -147,6 +147,10 @@ HEADLINE = [
     "x4_media_resize",
     "x11_hll_intersection",
     "x7_asof_status_rollup",
+    "x2_group_centroids",
+    "x6_negative_pairs",
+    "x6_shard_manifest",
+    "a11_winsorize",
 ]
 
 

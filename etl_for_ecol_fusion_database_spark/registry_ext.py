@@ -5989,3 +5989,202 @@ def x7_asof_status_rollup(spark, sf_dir):
         .groupBy(F.col("event_type").alias("status"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "x2_group_centroids",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+tagged AS (
+    SELECT CAST(vec_id % 4 AS INT) AS grp, v FROM e
+),
+comp AS (
+    SELECT grp, CAST(i - 1 AS INT) AS pos, v[i] AS x
+    FROM tagged CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+)
+SELECT grp, pos, round(AVG(x), 6) AS mean_x, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM comp GROUP BY grp, pos
+""",
+)
+def x2_group_centroids(spark, sf_dir):
+    """X2 per-group embedding centroids — the mean vector per cohort
+    (language, source, cluster), the primitive behind domain prototypes,
+    SemDeDup seeding, and drift monitoring of embedding spaces.  Columnar
+    shape: posexplode to (group, pos, x) rows, ONE (group, pos) hash
+    aggregation with map-side combine — shuffle bounded by |groups| x dim
+    regardless of corpus size (never collect-and-average on the driver).
+    Emitted long-form; AVG is rounded to 6dp for engine-portable hashing
+    (mean = sum/count is order-sensitive in the last bits; 6dp absorbs
+    it)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 4).cast("int").alias("grp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    comp = emb.select("grp", F.posexplode("v").alias("pos", "x"))
+    return comp.groupBy("grp", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@query(
+    "x6_negative_pairs",
+    oracle=f"""
+WITH d AS (SELECT doc_id FROM documents),
+n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents)
+SELECT d.doc_id AS anchor_id,
+       CAST(sub.j AS INT) AS neg_idx,
+       (d.doc_id + 1 + (d.doc_id * {sampling.KNUTH} + sub.j * 40503)
+        % (n.n_docs - 1)) % n.n_docs AS negative_id
+FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) sub
+       CROSS JOIN n
+""",
+)
+def x6_negative_pairs(spark, sf_dir):
+    """X6 deterministic negative sampling for contrastive training: each
+    anchor gets 4 pseudo-random negatives as a PURE PROJECTION — negative
+    = (anchor + 1 + hash(anchor, j) % (N-1)) % N, which by construction
+    never equals the anchor and needs NO join, NO shuffle, and no RNG
+    state (same negatives on any cluster layout / re-run, the
+    reproducibility a resumable training job needs).  The corpus size N
+    is one scalar aggregate crossed in.  Id-space note: assumes dense ids
+    (the fixture's); sparse ids compose this with a zipWithIndex-style
+    dense rank first."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg((F.max("doc_id") + 1).cast("long").alias("n_docs"))
+    return (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("neg_idx"),
+            "n_docs",
+        )
+        .select(
+            "anchor_id",
+            F.col("neg_idx").cast("int").alias("neg_idx"),
+            (
+                (
+                    F.col("anchor_id")
+                    + 1
+                    + (
+                        F.col("anchor_id") * sampling.KNUTH
+                        + F.col("neg_idx") * 40_503
+                    )
+                    % (F.col("n_docs") - 1)
+                )
+                % F.col("n_docs")
+            ).alias("negative_id"),
+        )
+    )
+
+
+@query(
+    "x6_shard_manifest",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 0)
+                AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS cum_excl
+    FROM t
+),
+sharded AS (
+    SELECT doc_id, n_tokens, CAST(cum_excl // 2048 AS INT) AS shard_id FROM cum
+)
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM sharded GROUP BY shard_id
+""",
+)
+def x6_shard_manifest(spark, sf_dir):
+    """X6 shard manifest — the rollup a dataloader actually reads: one row
+    per shard with doc count, token volume, and the id range, derived from
+    the pack_shards assignment (distributed two-phase prefix sum; the
+    oracle replays it with a single SQL running sum).  The manifest is
+    |shards|-sized — the artifact that lets a trainer plan epochs without
+    listing files; one keyed aggregation over the assignment."""
+    from .operators import sampling as sampling_ops
+    from .operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(
+            F.size(text_ops.tokens(F.trim(F.col("text")))), F.lit(0)
+        ).cast("long").alias("n_tokens"),
+    )
+    sharded = sampling_ops.pack_shards(
+        docs, id_col="doc_id", size_col="n_tokens", budget=2048
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "a11_winsorize",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           percentile_cont(0.01) WITHIN GROUP (ORDER BY value) AS lo,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS hi
+    FROM events GROUP BY event_type
+),
+c AS (
+    SELECT e.event_type,
+           CASE WHEN e.value < b.lo THEN b.lo
+                WHEN e.value > b.hi THEN b.hi
+                ELSE e.value END AS w,
+           CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END AS clipped
+    FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       round(MIN(w), 6) AS min_w, round(MAX(w), 6) AS max_w,
+       round(AVG(w), 6) AS mean_w,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped
+FROM c GROUP BY event_type
+""",
+)
+def a11_winsorize(spark, sf_dir):
+    """A11 per-group winsorization: clip each group's values to its own
+    [p1, p99] band — the outlier treatment a quality/feature column gets
+    before aggregation so one corrupt reading cannot move the mean.  Two
+    passes over the grouped data: exact per-group percentiles (one keyed
+    agg; Spark's `percentile` uses the same (n-1)p linear interpolation as
+    percentile_cont), broadcast back as the |groups|-row clip table, then
+    the clipped rollup — shuffle bounded by |groups|.  At 100 TB swap the
+    exact percentile for approx_percentile and keep the identical plan."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    w = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    clipped = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select("event_type", w.alias("w"), clipped.alias("clipped"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("w"), 6).alias("min_w"),
+            F.round(F.max("w"), 6).alias("max_w"),
+            F.round(F.avg("w"), 6).alias("mean_w"),
+            F.sum("clipped").cast("long").alias("n_clipped"),
+        )
+    )

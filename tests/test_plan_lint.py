@@ -44,6 +44,7 @@ BNLJ_OK = {
     "x12_partition_completeness": "1-row mean-volume relation crossed into the |days|-row spine join",
     "x13_skew_report": "1-row key-stats relation crossed into the post-limit 5-row hot-key relation",
     "x11_hll_intersection": "five 1-row aggregate/sketch-estimate results cross-joined into the report row",
+    "x6_negative_pairs": "1-row corpus-size scalar crossed into the anchor projection",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
@@ -61,6 +62,7 @@ GLOBAL_WINDOW_OK = {
     "x6_concat_chunks": "bucket-offset window over per-bucket totals (n_buckets rows), same shape as pack_shards",
     "x6_epoch_shuffle": "range-offset window over per-hash-range totals (n_buckets=64 rows), same shape as pack_shards",
     "x9_curation_v3": "composes epoch_shuffle (same 64-row range-offset window)",
+    "x6_shard_manifest": "composes pack_shards (same bucket-offset window over per-bucket totals)",
     "x13_skew_report": "rank window over the post-limit 5-row hot-key relation",
 }
 

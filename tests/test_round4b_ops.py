@@ -545,3 +545,75 @@ def test_hll_intersection_estimate_within_tolerance(spark, sf_dir):
     assert r.n_intersect <= min(r.n_a, r.n_b)
     assert r.n_union <= r.n_a + r.n_b
     assert r.n_union == r.n_a + r.n_b - r.n_intersect
+
+
+# ---------------------------------------------------------------------------
+# group centroids, negative pairs, shard manifest, winsorize
+# ---------------------------------------------------------------------------
+
+
+def test_group_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    got = {
+        (r.grp, r.pos): (r.mean_x, r.n_vecs)
+        for r in QUERIES["x2_group_centroids"](spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, v in vecs.items():
+        groups[int(i % 4)].append(v)
+    for g, vs in groups.items():
+        m = np.mean(np.stack(vs), axis=0)
+        for p in range(64):
+            mean_x, n = got[(g, p)]
+            assert n == len(vs)
+            assert abs(mean_x - round(float(m[p]), 6)) <= 1e-6
+
+
+def test_negative_pairs_never_hit_anchor_and_are_deterministic(spark, sf_dir):
+    out = QUERIES["x6_negative_pairs"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == 4 * n_docs
+    for r in out:
+        assert r.negative_id != r.anchor_id
+        assert 0 <= r.negative_id < n_docs
+    again = QUERIES["x6_negative_pairs"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_shard_manifest_totals_and_budget(spark, sf_dir):
+    from etl_for_ecol_fusion_database_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(text_ops.tokens(F.trim(F.col("text"))))).alias("t")
+    ).collect()[0].t
+    man = QUERIES["x6_shard_manifest"](spark, sf_dir).collect()
+    assert sum(r.n_tokens for r in man) == total_tokens
+    assert sum(r.n_docs for r in man) == docs.count()
+    # every shard except possibly the last stays within ~budget + one doc
+    max_doc = max(r.n_tokens for r in man)
+    for r in man:
+        assert r.first_doc <= r.last_doc
+
+
+def test_winsorize_bounds_and_clip_counts(spark, sf_dir):
+    out = {r.event_type: r for r in QUERIES["a11_winsorize"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    raw = {
+        r.event_type: (r.mn, r.mx, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for et, r in out.items():
+        mn, mx, n = raw[et]
+        # clipped range is within the raw range and clip count is sane
+        assert r.min_w >= round(mn, 6) - 1e-9 and r.max_w <= round(mx, 6) + 1e-9
+        assert 0 <= r.n_clipped <= n
+        # p1/p99 clipping on n values clips at most ~2% + interpolation slack
+        assert r.n_clipped <= max(4, int(0.03 * n))
