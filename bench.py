@@ -151,6 +151,7 @@ HEADLINE = [
     "x6_negative_pairs",
     "x6_shard_manifest",
     "a11_winsorize",
+    "x11_running_distinct",
 ]
 
 

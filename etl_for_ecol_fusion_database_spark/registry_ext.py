@@ -6188,3 +6188,54 @@ def a11_winsorize(spark, sf_dir):
             F.sum("clipped").cast("long").alias("n_clipped"),
         )
     )
+
+
+@query(
+    "x11_running_distinct",
+    oracle="""
+WITH first_touch AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+news AS (
+    SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+    FROM first_touch GROUP BY first_day
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day, COALESCE(n.n_new_users, 0) AS n_new_users,
+       CAST(SUM(COALESCE(n.n_new_users, 0)) OVER (
+           ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running_distinct_users
+FROM days d LEFT JOIN news n USING (day)
+""",
+)
+def x11_running_distinct(spark, sf_dir):
+    """X11 running distinct users by day — the cumulative-uniques metric,
+    in its SCALABLE formulation: running COUNT(DISTINCT) is not
+    incrementally computable directly (distinct doesn't sum), but each
+    user contributes exactly once at their FIRST day, so
+    running_distinct(d) = cumulative sum of new-user counts — one
+    (user -> min day) aggregation, one per-day rollup, and a running sum
+    over the |days|-row relation.  The naive form re-deduplicates an
+    ever-growing prefix per day (O(days x corpus)); this is O(corpus).
+    The tiny running-sum window runs on the |days|-row aggregate, never
+    the data."""
+    e = _t(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    news = first_touch.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(news, "day", "left")
+        .select("day", F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"))
+        .select(
+            "day",
+            "n_new_users",
+            F.sum("n_new_users").over(w).cast("long").alias("running_distinct_users"),
+        )
+    )

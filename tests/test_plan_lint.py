@@ -64,6 +64,7 @@ GLOBAL_WINDOW_OK = {
     "x9_curation_v3": "composes epoch_shuffle (same 64-row range-offset window)",
     "x6_shard_manifest": "composes pack_shards (same bucket-offset window over per-bucket totals)",
     "x13_skew_report": "rank window over the post-limit 5-row hot-key relation",
+    "x11_running_distinct": "running-sum window over the |days|-row per-day aggregate, never the event data",
 }
 
 

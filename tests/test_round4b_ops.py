@@ -617,3 +617,28 @@ def test_winsorize_bounds_and_clip_counts(spark, sf_dir):
         assert 0 <= r.n_clipped <= n
         # p1/p99 clipping on n values clips at most ~2% + interpolation slack
         assert r.n_clipped <= max(4, int(0.03 * n))
+
+
+def test_running_distinct_equals_prefix_distinct(spark, sf_dir):
+    """The first-touch cumsum must equal a literal re-dedup of every day
+    prefix (the naive O(days x corpus) definition)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    rows = ev.collect()
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.day].add(r.user_id)
+    days = sorted(by_day)
+    seen = set()
+    expected = {}
+    for d in days:
+        seen |= by_day[d]
+        expected[d] = len(seen)
+    got = {
+        r.day: r.running_distinct_users
+        for r in QUERIES["x11_running_distinct"](spark, sf_dir).collect()
+    }
+    assert got == expected
