@@ -152,6 +152,7 @@ HEADLINE = [
     "x6_shard_manifest",
     "a11_winsorize",
     "x11_running_distinct",
+    "x2_mmr_rerank",
 ]
 
 

@@ -497,3 +497,77 @@ def random_projection(
             )
         )
     return base.select(F.col("id").alias(id_col), F.array(*ys).alias("proj"))
+
+
+def mmr_rerank(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_queries: int = 10,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from each query's top
+    ``n_candidates`` (exact cosine), greedily select ``k`` results that
+    trade relevance against redundancy —
+    score = lam * rel(c) − (1−lam) * max_{s∈selected} sim(c, s) —
+    the diversified-retrieval step RAG stacks put after ANN so five
+    near-identical passages don't fill the context window.
+
+    Greedy selection is inherently sequential, but only WITHIN one
+    query's bounded candidate set — so the scalable shape is
+    ``applyInPandas`` per query group: candidate generation stays the
+    distributed exact/ANN top-k, and the O(k·n_candidates) greedy loop
+    runs vectorized (NumPy) on ≤ n_candidates rows per group.  No stage
+    ever materializes more than a query's candidates; ties break to the
+    lowest candidate id for determinism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = brute_force_topk(
+        df, id_col, vec_col, k=n_candidates, n_queries=n_queries
+    ).select("q_id", "cand_id", "cosine")
+    vecs = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    joined = cands.join(vecs, "cand_id")
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        ids = pdf["cand_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        M = np.stack(pdf["cv"].to_numpy())
+        norms = np.linalg.norm(M, axis=1)
+        sims = (M @ M.T) / np.outer(norms, norms)
+        selected: list[int] = []
+        out_rows = []
+        remaining = list(range(len(ids)))
+        for rank in range(1, min(k, len(ids)) + 1):
+            if selected:
+                penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                penalty = np.zeros(len(remaining))
+            scores = lam * rel[remaining] - (1.0 - lam) * penalty
+            # argmax with lowest-id tie break: ids are sorted ascending, and
+            # np.argmax returns the FIRST max — exactly the lowest id
+            j = int(np.argmax(scores))
+            pick = remaining[j]
+            out_rows.append(
+                {
+                    "q_id": int(pdf["q_id"].iloc[0]),
+                    "cand_id": int(ids[pick]),
+                    "mmr_rank": rank,
+                    "mmr_score": round(float(scores[j]), 6),
+                }
+            )
+            selected.append(pick)
+            remaining.pop(j)
+        return pd.DataFrame(out_rows)
+
+    return joined.groupBy("q_id").applyInPandas(
+        _mmr, schema="q_id long, cand_id long, mmr_rank int, mmr_score double"
+    )

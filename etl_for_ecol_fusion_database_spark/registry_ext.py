@@ -6239,3 +6239,17 @@ def x11_running_distinct(spark, sf_dir):
             F.sum("n_new_users").over(w).cast("long").alias("running_distinct_users"),
         )
     )
+
+
+@query("x2_mmr_rerank")  # greedy float selection -> rows-only driver check
+def x2_mmr_rerank(spark, sf_dir):
+    """X2 MMR diversified re-ranking (operators/similarity.mmr_rerank):
+    greedy relevance-vs-redundancy selection over each query's bounded
+    top-20 candidates, vectorized per group in applyInPandas — the
+    diversified-retrieval pass after ANN.  NumPy float scores make the
+    selection engine-specific (rows-only for the driver); the exact
+    greedy trace is replayed by the property test in
+    tests/test_round4b_ops.py."""
+    return similarity.mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, n_candidates=20, k=5
+    )

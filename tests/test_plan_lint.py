@@ -45,6 +45,7 @@ BNLJ_OK = {
     "x13_skew_report": "1-row key-stats relation crossed into the post-limit 5-row hot-key relation",
     "x11_hll_intersection": "five 1-row aggregate/sketch-estimate results cross-joined into the report row",
     "x6_negative_pairs": "1-row corpus-size scalar crossed into the anchor projection",
+    "x2_mmr_rerank": "composes brute_force_topk (10 broadcast query vectors vs corpus, bounded probe set)",
 }
 
 # A single-partition exchange feeding a Window is only safe when the

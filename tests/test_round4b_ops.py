@@ -642,3 +642,76 @@ def test_running_distinct_equals_prefix_distinct(spark, sf_dir):
         for r in QUERIES["x11_running_distinct"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
+    """The applyInPandas MMR selection must equal a driver-side greedy
+    replay over the same candidates (ids, ranks, and 6dp scores)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lam = 0.7
+    cands = similarity.brute_force_topk(emb, k=20, n_queries=10).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in cands:
+        by_q[r.q_id].append((r.cand_id, r.cosine))
+    expected = []
+    for q in sorted(by_q):
+        items = sorted(by_q[q])
+        ids = np.array([i for i, _ in items])
+        rel = np.array([c for _, c in items], dtype=np.float64)
+        M = np.stack([vecs[i] for i in ids])
+        norms = np.linalg.norm(M, axis=1)
+        sims = (M @ M.T) / np.outer(norms, norms)
+        selected, remaining = [], list(range(len(ids)))
+        for rank in range(1, 6):
+            if selected:
+                penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                penalty = np.zeros(len(remaining))
+            scores = lam * rel[remaining] - (1 - lam) * penalty
+            j = int(np.argmax(scores))
+            pick = remaining[j]
+            expected.append((q, int(ids[pick]), rank, round(float(scores[j]), 6)))
+            selected.append(pick)
+            remaining.pop(j)
+    got = sorted(
+        (r.q_id, r.cand_id, r.mmr_rank, r.mmr_score)
+        for r in QUERIES["x2_mmr_rerank"](spark, sf_dir).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_mmr_is_more_diverse_than_plain_topk(spark, sf_dir):
+    """Sanity on the objective: the mean pairwise similarity of the MMR
+    selection must not exceed that of the plain top-5."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def mean_pair_sim(ids):
+        M = np.stack([vecs[i] for i in ids])
+        n = np.linalg.norm(M, axis=1)
+        S = (M @ M.T) / np.outer(n, n)
+        iu = np.triu_indices(len(ids), 1)
+        return float(S[iu].mean())
+
+    from collections import defaultdict
+
+    mmr_sel = defaultdict(list)
+    for r in QUERIES["x2_mmr_rerank"](spark, sf_dir).collect():
+        mmr_sel[r.q_id].append(r.cand_id)
+    top_sel = defaultdict(list)
+    for r in similarity.brute_force_topk(emb, k=5, n_queries=10).collect():
+        top_sel[r.q_id].append(r.cand_id)
+    worse = 0
+    for q in top_sel:
+        if mean_pair_sim(mmr_sel[q]) > mean_pair_sim(top_sel[q]) + 1e-9:
+            worse += 1
+    # diversification can tie on near-orthogonal data but must not lose
+    # for most queries
+    assert worse <= 2, worse
