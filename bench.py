@@ -153,6 +153,8 @@ HEADLINE = [
     "a11_winsorize",
     "x11_running_distinct",
     "x2_mmr_rerank",
+    "x12_class_balance",
+    "x1_minhash_accuracy",
 ]
 
 

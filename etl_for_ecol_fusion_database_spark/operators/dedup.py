@@ -1011,3 +1011,111 @@ def cdc_chunk_dedup(
         F.countDistinct("id").alias("n_docs"),
         F.min("id").alias("keep_id"),
     )
+
+
+def minhash_estimate_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    tol: float = 0.35,
+) -> DataFrame:
+    """MinHash ACCURACY audit (the x11_hll_accuracy pattern applied to the
+    dedup sketch): for every banded candidate pair, the sketch-estimated
+    Jaccard — matching signature coordinates / num_hashes, the unbiased
+    MinHash estimator — next to the exact shingle-set Jaccard, with a
+    tolerance boolean (std of the estimator is sqrt(J(1-J)/num_hashes);
+    ``tol`` should sit a few sigma out).  Because the portable hash family
+    is integer arithmetic end to end, estimate, exact value, AND the
+    boolean all replay in ANSI SQL — the driver hash-checks that the
+    sketch's error behaves, not just that the pipeline runs.
+
+    Shape: same banded self-join as ``minhash_lsh_pairs_portable``;
+    signatures re-attach to the (small) candidate set by id — two slim
+    joins of num_hashes longs; exact Jaccard via the shared-shingle count
+    join on candidates only.
+    """
+    r = num_hashes // n_bands
+    sh = shingle_rows(df, id_col, text_col, n)
+    pairs = sh.withColumn("x", portable_hash_expr("shingle"))
+    per_doc = pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(
+                (F.col("x") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(_P_PORT)
+            ).alias(f"m_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    banded = per_doc.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col(f"m_{b * r + j}").cast("string") for j in range(r)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = per_doc.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"m_{i}").alias(f"ma_{i}") for i in range(num_hashes)],
+    )
+    sig_b = per_doc.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        *[F.col(f"m_{i}").alias(f"mb_{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        t = F.when(F.col(f"ma_{i}") == F.col(f"mb_{i}"), 1).otherwise(0)
+        matches = t if matches is None else (matches + t)
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
+    scored = cand.join(sig_a, "id_a").join(sig_b, "id_b").select(
+        "id_a", "id_b", "sz_a", "sz_b", est.alias("est_jaccard")
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return (
+        scored.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"n_inter": 0})
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            (
+                F.abs(F.col("est_jaccard") - exact) <= F.lit(tol)
+            ).alias("within_tolerance"),
+        )
+    )

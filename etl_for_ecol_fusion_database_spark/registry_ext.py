@@ -6253,3 +6253,149 @@ def x2_mmr_rerank(spark, sf_dir):
     return similarity.mmr_rerank(
         _t(spark, sf_dir, "embeddings"), n_queries=10, n_candidates=20, k=5
     )
+
+
+@query(
+    "x12_class_balance",
+    oracle="""
+WITH c AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(COUNT(*) AS DOUBLE) AS k FROM c
+)
+SELECT c.event_type, c.n,
+       round(c.n / tot.total, 6) AS frac,
+       round((c.n - tot.total / tot.k) * (c.n - tot.total / tot.k)
+             / (tot.total / tot.k), 6) AS chi2_term,
+       (c.n / tot.total) BETWEEN 0.5 / tot.k AND 2.0 / tot.k AS balanced
+FROM c CROSS JOIN tot
+""",
+)
+def x12_class_balance(spark, sf_dir):
+    """X12 label/class-balance report — the pre-training sanity check that
+    no class dominates or vanishes: per-class counts, fractions, the
+    per-class chi-square term against the uniform expectation, and a
+    balanced flag (within [0.5x, 2x] of uniform share).  One keyed
+    aggregation (map-side combined) + a |classes|-row broadcast of the
+    totals — the event log never moves twice.  A skewed-label corpus
+    fails fast here instead of three days into a training run."""
+    c = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    exp = F.col("total") / F.col("k")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("frac"),
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias("chi2_term"),
+        (F.col("n") / F.col("total")).between(
+            0.5 / F.col("k"), 2.0 / F.col("k")
+        ).alias("balanced"),
+    )
+
+
+def _minhash_accuracy_oracle() -> str:
+    """DuckDB replay of the MinHash accuracy audit — same constants as
+    operators/dedup.minhash_estimate_report."""
+    mins = ",\n           ".join(
+        f"MIN(({dedup._PORT_A[i]} * x + {dedup._PORT_B[i]}) % {dedup._P_PORT}) AS m_{i}"
+        for i in range(16)
+    )
+    bands = "\n             ".join(
+        "WHEN {b} THEN array_to_string([{slots}], ',')".format(
+            b=b, slots=", ".join(f"m_{b * 4 + j}" for j in range(4))
+        )
+        for b in range(4)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m_{i} = sb.m_{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return rf"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+    FROM documents WHERE doc_id < 20
+),
+toks AS (
+    SELECT doc_id AS id,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+    FROM docs
+),
+sh AS (
+    SELECT id,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN list_distinct([t[i] || ' ' || t[i+1]
+                                           for i in generate_series(1, len(t) - 1)])
+                       ELSE list_distinct(t) END) AS shingle
+    FROM toks
+),
+h AS (
+    SELECT id, shingle,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(shingle)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)])
+                % {dedup._P_PORT} AS BIGINT) AS x
+    FROM sh
+),
+sig AS (
+    SELECT id, COUNT(*) AS sz,
+           {mins}
+    FROM h GROUP BY id
+),
+banded AS (
+    SELECT id, band_idx,
+           CASE band_idx
+             {bands}
+           END AS band_key
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+est AS (
+    SELECT c.id_a, c.id_b, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(({match_sum}) / 16.0, 6) AS est_jaccard
+    FROM cand c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       round(COALESCE(i.n_inter, 0)
+             / CAST(e.sz_a + e.sz_b - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+           AS exact_jaccard,
+       abs(e.est_jaccard
+           - round(COALESCE(i.n_inter, 0)
+                   / CAST(e.sz_a + e.sz_b - COALESCE(i.n_inter, 0) AS DOUBLE), 6))
+           <= 0.35 AS within_tolerance
+FROM est e LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+"""
+
+
+@query("x1_minhash_accuracy", oracle=_minhash_accuracy_oracle())
+def x1_minhash_accuracy(spark, sf_dir):
+    """X1 MinHash accuracy audit (operators/dedup.minhash_estimate_report):
+    for every banded candidate pair, the sketch-estimated Jaccard (matching
+    signature coordinates / 16 — the unbiased MinHash estimator) next to
+    the exact shingle-set Jaccard with a tolerance boolean — the
+    x11_hll_accuracy pattern applied to the dedup sketch, fully
+    oracle-replayed because the portable hash family is integer end to
+    end.  The driver hash-checks the sketch's ERROR BOUND, not just the
+    pipeline shape."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_estimate_report(
+        docs, n=2, num_hashes=16, n_bands=4, tol=0.35
+    )

@@ -46,6 +46,7 @@ BNLJ_OK = {
     "x11_hll_intersection": "five 1-row aggregate/sketch-estimate results cross-joined into the report row",
     "x6_negative_pairs": "1-row corpus-size scalar crossed into the anchor projection",
     "x2_mmr_rerank": "composes brute_force_topk (10 broadcast query vectors vs corpus, bounded probe set)",
+    "x12_class_balance": "1-row totals relation crossed into the |classes|-row count table",
 }
 
 # A single-partition exchange feeding a Window is only safe when the

@@ -715,3 +715,33 @@ def test_mmr_is_more_diverse_than_plain_topk(spark, sf_dir):
     # diversification can tie on near-orthogonal data but must not lose
     # for most queries
     assert worse <= 2, worse
+
+
+def test_minhash_accuracy_flags_hold_for_true_dups(spark, sf_dir):
+    """Injected near-dup pairs (true jaccard >> 0) must appear in the audit
+    with estimates within tolerance, and every row's booleans must be
+    internally consistent."""
+    out = QUERIES["x1_minhash_accuracy"](spark, sf_dir).collect()
+    assert out
+    injected = {(i, i + 1_000_000) for i in range(20)}
+    seen = {(r.id_a, r.id_b) for r in out}
+    assert injected & seen, "no injected near-dup pair banded together"
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.within_tolerance == (
+            abs(r.est_jaccard - r.exact_jaccard) <= 0.35
+        )
+    frac_ok = sum(1 for r in out if r.within_tolerance) / len(out)
+    assert frac_ok >= 0.9, frac_ok
+
+
+def test_class_balance_chi2_and_fractions(spark, sf_dir):
+    out = QUERIES["x12_class_balance"](spark, sf_dir).collect()
+    total = sum(r.n for r in out)
+    k = len(out)
+    assert abs(sum(r.frac for r in out) - 1.0) < 1e-4
+    exp = total / k
+    for r in out:
+        assert abs(r.chi2_term - round((r.n - exp) ** 2 / exp, 6)) < 1e-3
+        assert r.balanced == (0.5 / k <= r.n / total <= 2.0 / k)
