@@ -155,6 +155,7 @@ HEADLINE = [
     "x2_mmr_rerank",
     "x12_class_balance",
     "x1_minhash_accuracy",
+    "s24_partition_pruned_read",
 ]
 
 

@@ -6399,3 +6399,40 @@ def x1_minhash_accuracy(spark, sf_dir):
     return dedup.minhash_estimate_report(
         docs, n=2, num_hashes=16, n_bands=4, tol=0.35
     )
+
+
+@query(
+    "s24_partition_pruned_read",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+""",
+)
+def s24_partition_pruned_read(spark, sf_dir):
+    """S-surface partition pruning witness: the events relation written
+    PARTITIONED BY day (the layout every 100-TB event lake uses), then a
+    single-day query against the files — the day predicate must resolve at
+    PLANNING time to one directory (PartitionFilters in the scan, pinned
+    in tests/test_plan_quality.py), so a one-day query over years of data
+    lists one partition instead of scanning the lake.  The write is the
+    dev-routed parquet sink with partitionBy; at scale add
+    partitionOverwriteMode=dynamic for idempotent daily reloads
+    (sources/writers.py:91)."""
+    out = _rt_tmpdir("part_events_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out)
+    # partition-type inference reads `day` back as DATE; pin the output
+    # dtype to the written string so the witness is inference-independent
+    return back.filter(F.col("day") == "2024-01-10").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+    )

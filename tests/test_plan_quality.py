@@ -480,3 +480,10 @@ def test_hashing_features_single_aggregation_exchange(spark, sf_dir):
     n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n_shuffles == 1, f"hashing trick should shuffle once\n{plan}"
     assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_partition_pruned_read_prunes_to_one_day(spark, sf_dir):
+    """The day predicate must resolve to PartitionFilters (planning-time
+    directory pruning), never a post-scan filter over all partitions."""
+    plan = _final_plan(registry.QUERIES["s24_partition_pruned_read"](spark, sf_dir))
+    assert re.search(r"PartitionFilters: \[[^\]]*day", plan), plan
