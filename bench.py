@@ -156,6 +156,9 @@ HEADLINE = [
     "x12_class_balance",
     "x1_minhash_accuracy",
     "s24_partition_pruned_read",
+    "x5_trending_topk",
+    "x1_dup_explain",
+    "x8_kmeans_elbow",
 ]
 
 

@@ -6436,3 +6436,209 @@ def s24_partition_pruned_read(spark, sf_dir):
         "event_type",
         F.col("day").cast("string").alias("day"),
     )
+
+
+@query(
+    "x5_trending_topk",
+    oracle="""
+WITH hourly AS (
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT window_start, event_type, n_events,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+    FROM hourly
+)
+SELECT window_start, event_type, n_events, rank FROM ranked WHERE rank <= 3
+""",
+)
+def x5_trending_topk(spark, sf_dir):
+    """X5 trending top-k: the 3 busiest event types per hour — the
+    dashboard rollup behind 'what is trending now'.  One windowed keyed
+    aggregation (map-side combined) + a per-window WindowGroupLimit rank
+    over the already-aggregated (|windows| x |types|)-row relation — the
+    rank never touches raw events.  The streaming twin is the tumbling
+    aggregation (streaming/events_stream.tumbling_counts) with the rank
+    applied per micro-batch in foreachBatch (streaming rank over updating
+    aggregates isn't expressible in pure append mode)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "x1_dup_explain",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id AS id,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+    FROM documents WHERE doc_id < 200
+),
+sh AS (
+    SELECT id,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN list_distinct([t[i] || ' ' || t[i+1]
+                                           for i in generate_series(1, len(t) - 1)])
+                       ELSE list_distinct(t) END) AS shingle
+    FROM toks
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.shingle
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+),
+scored AS (
+    SELECT p.id_a, p.id_b, COUNT(*) AS n_shared
+    FROM pairs p GROUP BY p.id_a, p.id_b
+),
+strong AS (
+    SELECT s.id_a, s.id_b, s.n_shared
+    FROM scored s
+    JOIN sizes za ON za.id = s.id_a JOIN sizes zb ON zb.id = s.id_b
+    WHERE round(s.n_shared / CAST(za.sz + zb.sz - s.n_shared AS DOUBLE), 6) >= 0.05
+),
+expl AS (
+    SELECT p.id_a, p.id_b, p.shingle,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.id_a, p.id_b
+                                   ORDER BY p.shingle ASC) AS INT) AS shingle_rank
+    FROM pairs p JOIN strong USING (id_a, id_b)
+)
+SELECT e.id_a, e.id_b, s.n_shared, e.shingle, e.shingle_rank
+FROM expl e JOIN strong s USING (id_a, id_b)
+WHERE e.shingle_rank <= 3
+""",
+)
+def x1_dup_explain(spark, sf_dir):
+    """X1 near-dup EXPLANATION rows: for every candidate pair above the
+    Jaccard floor, the first 3 shared shingles — the human-auditable
+    evidence a dedup reviewer (or an appeals process) needs beyond a bare
+    similarity score.  The shared-shingle relation is the same
+    shingle-keyed equi-join the verification step already pays; the
+    explanation is a per-pair WindowGroupLimit over rows that exist
+    anyway.  Bounded to the oracle id range (<200) like the other exact
+    all-pairs ground truths."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = dedup.shingle_rows(docs, "doc_id", "text", n=2)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    pairs = sh_a.join(sh_b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared"))
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    strong = (
+        scored.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")).cast("double"),
+                6,
+            )
+            >= 0.05
+        )
+        .select("id_a", "id_b", "n_shared")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a", "id_b").orderBy(F.asc("shingle"))
+    expl = (
+        pairs.join(strong.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .withColumn("shingle_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("shingle_rank") <= 3)
+    )
+    return expl.join(strong, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_shared", "shingle", "shingle_rank"
+    )
+
+
+def _kmeans_elbow_oracle() -> str:
+    """DuckDB replay of the elbow report: nearest-centroid assignment and
+    summed squared distances for k in {2, 4, 8, 16}, seeds = first-k
+    vectors (the x8 seeding)."""
+    parts = []
+    for k in (2, 4, 8, 16):
+        parts.append(f"""
+SELECT {k} AS k,
+       round(SUM(best), 6) AS inertia,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM (
+    SELECT e.vec_id,
+           MIN(list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                         for i in generate_series(1, len(e.v))])) AS best
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+    CROSS JOIN (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < {k}) c
+    GROUP BY e.vec_id
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("x8_kmeans_elbow", oracle=_kmeans_elbow_oracle())
+def x8_kmeans_elbow(spark, sf_dir):
+    """X8 k-means elbow report: total inertia (sum of squared distance to
+    the nearest seed centroid) for k in {2, 4, 8, 16} — the model-
+    selection curve that picks k before committing to the full Lloyd's
+    loop.  Each k is one broadcast-literal assignment pass (row-local
+    argmin, zero shuffle) + a 1-row SUM; four passes union plan-level.
+    MIN-of-distances equals the assigned cluster's distance, so the
+    DuckDB replay is bit-identical (sequential double folds both
+    sides)."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds16 = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    parts = []
+    for k in (2, 4, 8, 16):
+        cents = seeds16[:k]
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+        best = F.least(*dists) if len(dists) > 1 else dists[0]
+        parts.append(
+            emb.select(best.alias("best")).agg(
+                F.lit(k).alias("k"),
+                F.round(F.sum("best"), 6).alias("inertia"),
+                F.count(F.lit(1)).alias("n_vecs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -745,3 +745,62 @@ def test_class_balance_chi2_and_fractions(spark, sf_dir):
     for r in out:
         assert abs(r.chi2_term - round((r.n - exp) ** 2 / exp, 6)) < 1e-3
         assert r.balanced == (0.5 / k <= r.n / total <= 2.0 / k)
+
+
+# ---------------------------------------------------------------------------
+# trending top-k, dup explanations, k-means elbow
+# ---------------------------------------------------------------------------
+
+
+def test_trending_topk_agrees_with_full_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    full = (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("w"), "event_type")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_w = defaultdict(list)
+    for r in full:
+        by_w[r.w].append((r["count"], r.event_type))
+    got = defaultdict(list)
+    for r in QUERIES["x5_trending_topk"](spark, sf_dir).orderBy("window_start", "rank").collect():
+        got[r.window_start].append((r.event_type, r.n_events))
+    for w, lst in by_w.items():
+        top3 = sorted(lst, key=lambda t: (-t[0], t[1]))[:3]
+        assert got[w] == [(et, n) for n, et in top3], w
+
+
+def test_dup_explain_shingles_really_shared(spark, sf_dir):
+    import re as _re
+
+    docs = {
+        r.doc_id: _re.sub(r"\s+", " ", r.text.lower()).strip()
+        for r in load_table(spark, sf_dir, "documents").filter("doc_id < 200").collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < 2:
+            return set(toks)
+        return {f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)}
+
+    out = QUERIES["x1_dup_explain"](spark, sf_dir).collect()
+    assert out
+    for r in out[:500]:
+        sa, sb = shingles(docs[r.id_a]), shingles(docs[r.id_b])
+        assert r.shingle in sa and r.shingle in sb
+        assert r.n_shared == len(sa & sb)
+        assert 1 <= r.shingle_rank <= 3
+
+
+def test_kmeans_elbow_is_monotone_in_k(spark, sf_dir):
+    """More centroids can only reduce (or keep) the nearest-seed inertia:
+    the seed sets are nested (first-k vectors), so each vector's best
+    distance is non-increasing in k."""
+    rows = {r.k: r for r in QUERIES["x8_kmeans_elbow"](spark, sf_dir).collect()}
+    assert list(sorted(rows)) == [2, 4, 8, 16]
+    n = {r.n_vecs for r in rows.values()}
+    assert len(n) == 1
+    assert rows[2].inertia >= rows[4].inertia >= rows[8].inertia >= rows[16].inertia
