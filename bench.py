@@ -159,6 +159,7 @@ HEADLINE = [
     "x5_trending_topk",
     "x1_dup_explain",
     "x8_kmeans_elbow",
+    "j10_abandoned_views",
 ]
 
 

@@ -6642,3 +6642,48 @@ def x8_kmeans_elbow(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "j10_abandoned_views",
+    oracle="""
+SELECT v.event_id AS view_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = v.user_id
+        AND c.event_type = 'click'
+        AND c.ts >= v.ts
+        AND c.ts <= v.ts + INTERVAL '30 minutes'
+  )
+""",
+)
+def j10_abandoned_views(spark, sf_dir):
+    """J10 temporal ANTI-join: views never followed by a same-user click
+    within 30 minutes — the abandonment/non-conversion complement of the
+    x5 attribution interval join.  Expressed as a LEFT ANTI join with the
+    (user equi + time range) condition: the equi part keys ONE user_id
+    shuffle shared by both sides and the range predicate evaluates
+    post-match, so the anti join costs exactly what the inner interval
+    join costs — no second pass, no NOT IN re-scan.  The streaming analog
+    is the watermark-closed 'no click arrived' timeout of a stateful
+    operator."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return v.join(c, cond, "left_anti").select(
+        "view_id",
+        "user_id",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )

@@ -804,3 +804,22 @@ def test_kmeans_elbow_is_monotone_in_k(spark, sf_dir):
     n = {r.n_vecs for r in rows.values()}
     assert len(n) == 1
     assert rows[2].inertia >= rows[4].inertia >= rows[8].inertia >= rows[16].inertia
+
+
+def test_abandoned_views_complement_attribution(spark, sf_dir):
+    """A view is abandoned iff it is NOT a view_id in the attribution
+    join — the anti join must be the exact complement."""
+    attributed = {
+        r.view_id
+        for r in QUERIES["x5_view_click_attribution"](spark, sf_dir).collect()
+    }
+    abandoned = {
+        r.view_id for r in QUERIES["j10_abandoned_views"](spark, sf_dir).collect()
+    }
+    all_views = {
+        r.event_id
+        for r in load_table(spark, sf_dir, "events")
+        .filter("event_type = 'view'")
+        .collect()
+    }
+    assert abandoned == all_views - attributed
