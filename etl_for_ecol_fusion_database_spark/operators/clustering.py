@@ -71,6 +71,7 @@ def kmeans_fit(
     *,
     k: int = 8,
     n_iter: int = 5,
+    round_dp: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's k-means: returns (centroids, assignments DataFrame with
     (id, cluster)).  Init = the vectors of the ``k`` smallest ids
@@ -78,16 +79,26 @@ def kmeans_fit(
 
     An empty cluster keeps its previous centroid (no reseeding), so the
     iteration count fully determines the result.
+
+    ``round_dp`` rounds each updated centroid component to that many
+    decimals before the next assignment round.  A float mean is the one
+    order-sensitive reduction in the loop (partial-sum order differs
+    across partitionings and engines); rounding snaps the ~1-ulp
+    ambiguity to a canonical value, making the WHOLE fixed-iteration loop
+    replayable bit-for-bit by an ANSI-SQL oracle (``round(AVG(x), dp)``)
+    and stable across cluster layouts — the same portability trick as the
+    rounded cosines in operators/similarity.  None keeps raw means.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     seed_rows = base.orderBy("id").limit(k).collect()
     centroids = [[float(x) for x in r.v] for r in seed_rows]
+    mean_expr = F.avg("x") if round_dp is None else F.round(F.avg("x"), round_dp)
     for _ in range(n_iter):
         assigned = assign_clusters(base, "v", centroids)
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .collect()
         )
         new_c = [list(c) for c in centroids]

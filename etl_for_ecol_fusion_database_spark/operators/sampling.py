@@ -24,13 +24,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 #: Knuth's multiplicative constant (2^32 / phi); id*KNUTH mod 2^31-ish
-#: decorrelates sequential ids.  Kept < 2^32 so bigint products of ids up
-#: to ~4e9 cannot overflow int64 (Spark with ANSI off would wrap silently).
+#: decorrelates sequential ids.  Every use reduces the id mod 2^31-1 BEFORE
+#: multiplying (see _reduced): (2^31-1) * KNUTH ≈ 5.7e18 < 2^63-1, so the
+#: int64 product can never overflow for ANY bigint id — Spark with ANSI off
+#: would wrap silently and DuckDB would error, breaking oracle parity.
 KNUTH = 2654435761
 
 #: Mersenne prime 2^31-1 — modulus for rank-over-hash orderings (keeps the
 #: hash in int32 range while remaining replayable in ANSI-SQL BIGINT math).
 _P31 = 2_147_483_647
+
+
+def _reduced(c: Column) -> Column:
+    """id reduced mod 2^31-1 so the subsequent *KNUTH product fits int64.
+
+    Identity for ids below 2^31-1 (every fixture/test id), so oracle
+    values are unchanged at test scale; at petabyte-scale id ranges it is
+    the difference between a defined hash and silent int64 wraparound.
+    Oracle SQL mirrors it as ``(expr % 2147483647)`` (ids are
+    non-negative, so DuckDB's signed % equals pmod).
+    """
+    return F.pmod(c, F.lit(_P31))
 
 #: modulus for split bucketing — 1000 buckets => per-mille split weights
 N_BUCKETS = 1000
@@ -39,7 +53,7 @@ N_BUCKETS = 1000
 def split_bucket(id_col: Column | str, *, salt: int = 0) -> Column:
     """Deterministic bucket in [0, N_BUCKETS) from an integer id."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod((c + F.lit(salt)) * F.lit(KNUTH), F.lit(N_BUCKETS)).cast("int")
+    return F.pmod(_reduced(c + F.lit(salt)) * F.lit(KNUTH), F.lit(N_BUCKETS)).cast("int")
 
 
 def hash_split(
@@ -130,7 +144,7 @@ def per_key_sample(
     (same family as ``split_bucket``) so an ANSI-SQL oracle can replay the
     selection exactly.
     """
-    rank_key = F.pmod((F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(_P31))
+    rank_key = F.pmod(_reduced(F.col(id_col) + F.lit(salt)) * F.lit(KNUTH), F.lit(_P31))
     w = Window.partitionBy(*key_cols).orderBy(rank_key.asc(), F.col(id_col).asc())
     return (
         df.select("*", F.row_number().over(w).cast("int").alias("sample_rank"))
@@ -379,7 +393,7 @@ def epoch_shuffle(
     training order reproducible across restarts.  Integer-only arithmetic
     keeps the permutation ANSI-SQL-replayable.
     """
-    h = F.pmod((F.col(id_col) + F.lit(epoch * 40_503)) * F.lit(KNUTH), F.lit(_P31))
+    h = F.pmod(_reduced(F.col(id_col) + F.lit(epoch * 40_503)) * F.lit(KNUTH), F.lit(_P31))
     rng = (_P31 + n_buckets - 1) // n_buckets
     based = df.select("*", h.alias("_h"), (h / F.lit(rng)).cast("int").alias("_rng"))
     w_rank = Window.partitionBy("_rng").orderBy(F.col("_h").asc(), F.col(id_col).asc())

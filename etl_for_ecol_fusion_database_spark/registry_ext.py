@@ -965,9 +965,9 @@ def x3_pii_redaction(spark, sf_dir):
     "x6_hash_split",
     oracle="""
 SELECT doc_id,
-       CAST((doc_id * 2654435761) % 1000 AS INT) AS bucket,
-       CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+       CAST(((doc_id % 2147483647) * 2654435761) % 1000 AS INT) AS bucket,
+       CASE WHEN ((doc_id % 2147483647) * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN ((doc_id % 2147483647) * 2654435761) % 1000 < 900 THEN 'val'
             ELSE 'test' END AS split,
        lang
 FROM documents
@@ -991,7 +991,7 @@ WITH ranked AS (
     SELECT doc_id, lang,
            ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY CAST((doc_id * 2654435761) % 1000 AS INT), doc_id
+               ORDER BY CAST(((doc_id % 2147483647) * 2654435761) % 1000 AS INT), doc_id
            ) AS rn,
            COUNT(*) OVER (PARTITION BY lang) AS n
     FROM documents
@@ -1016,7 +1016,7 @@ def x6_stratified_sample(spark, sf_dir):
 WITH keyed AS (
     SELECT doc_id, lang, n_chars,
            CAST(n_chars AS DOUBLE)
-             / ((CAST((doc_id * 2654435761) % 1000 AS INT) + 1) / 1000.0)
+             / ((CAST(((doc_id % 2147483647) * 2654435761) % 1000 AS INT) + 1) / 1000.0)
              AS priority
     FROM documents
 ), ranked AS (
@@ -1157,7 +1157,7 @@ def x1_dup_clusters(spark, sf_dir):
     "x6_decontaminate",
     oracle=r"""
 WITH base AS (
-    SELECT doc_id, CAST((doc_id * 2654435761) % 1000 AS INT) AS bucket,
+    SELECT doc_id, CAST(((doc_id % 2147483647) * 2654435761) % 1000 AS INT) AS bucket,
            regexp_split_to_array(
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
     FROM documents
@@ -1319,7 +1319,7 @@ survivors AS (
 ),
 tr AS (
     SELECT s.doc_id, s.n_tokens FROM survivors s
-    WHERE (s.doc_id * 2654435761) % 1000 < 800
+    WHERE ((s.doc_id % 2147483647) * 2654435761) % 1000 < 800
 ),
 base AS (
     SELECT doc_id,
@@ -1341,7 +1341,7 @@ contaminated AS (
     FROM sh a
     JOIN tr ON tr.doc_id = a.doc_id
     JOIN sh b ON a.shingle = b.shingle
-    JOIN documents d ON d.doc_id = b.doc_id AND (d.doc_id * 2654435761) % 1000 >= 900
+    JOIN documents d ON d.doc_id = b.doc_id AND ((d.doc_id % 2147483647) * 2654435761) % 1000 >= 900
 ),
 clean AS (
     SELECT tr.doc_id, tr.n_tokens FROM tr
@@ -2729,14 +2729,31 @@ def a10_unpivot(spark, sf_dir):
     )
 
 
-@query("x11_hll_incremental")  # Datasketches binary -> no DuckDB oracle
+@query(
+    "x11_hll_incremental",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS merge_invariant,
+       TRUE AS within_tolerance
+FROM events GROUP BY event_type
+""",
+)
 def x11_hll_incremental(spark, sf_dir):
     """X11 sketch-state incremental distinct counting: per-"day" HLL
     sketches of user_id per event_type, merged with hll_union_agg — the
     only way COUNT(DISTINCT) participates in incremental view
-    maintenance (exact distincts don't merge).  Merge-invariance
-    (union-of-sketches == sketch-of-union, bit-exact) and accuracy vs
-    exact countDistinct are pinned in tests/test_analytics_ops.py."""
+    maintenance (exact distincts don't merge).  The sketch binary itself
+    is implementation-defined, so the hash-checked witness (round-5
+    conversion from rows-only) asserts the two properties that ARE
+    portable, per group: ``merge_invariant`` — the union of the three
+    per-batch sketches estimates bit-identically to one sketch over the
+    whole relation (the algebraic property incremental maintenance rests
+    on) — and ``within_tolerance`` — the merged estimate lands within the
+    lgK=12 error guard (rsd ~1.6%, 10% guard) of the exact distinct,
+    whose value the oracle recomputes exactly.  Same pattern as
+    x11_hll_accuracy/x3_profile_sketch: the sketch VALUE is
+    implementation-defined, its ALGEBRA and ACCURACY are not."""
     from .operators import incremental
 
     e = _t(spark, sf_dir, "events")
@@ -2746,9 +2763,28 @@ def x11_hll_incremental(spark, sf_dir):
         )
         for i in range(3)
     ]
-    return incremental.finalize_hll_state(
-        incremental.merge_hll_states(*days)
-    ).orderBy("event_type")
+    merged = incremental.finalize_hll_state(incremental.merge_hll_states(*days))
+    whole = incremental.finalize_hll_state(
+        incremental.hll_state(e, ["event_type"], "user_id")
+    ).withColumnRenamed("approx_distinct", "whole_distinct")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        exact.join(F.broadcast(merged), "event_type")
+        .join(F.broadcast(whole), "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.col("approx_distinct") == F.col("whole_distinct")).alias(
+                "merge_invariant"
+            ),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("within_tolerance"),
+        )
+    )
 
 
 @query(
@@ -2773,7 +2809,7 @@ SELECT d.doc_id,
        r.dom AS domain,
        r.target_rate,
        CAST((CAST(round(r.target_rate * 1000) AS BIGINT) // 1000)
-            + CASE WHEN (d.doc_id * 2654435761) % 1000
+            + CASE WHEN ((d.doc_id % 2147483647) * 2654435761) % 1000
                         < CAST(round(r.target_rate * 1000) AS BIGINT) % 1000
                    THEN 1 ELSE 0 END AS INT) AS n_repeats
 FROM documents d JOIN rates r ON d.lang = r.dom
@@ -3652,11 +3688,11 @@ rates AS (
 SELECT s.doc_id,
        s.lang AS domain,
        CAST((CAST(round(r.target_rate * 1000) AS BIGINT) // 1000)
-            + CASE WHEN (s.doc_id * 2654435761) % 1000
+            + CASE WHEN ((s.doc_id % 2147483647) * 2654435761) % 1000
                         < CAST(round(r.target_rate * 1000) AS BIGINT) % 1000
                    THEN 1 ELSE 0 END AS INT) AS n_repeats,
-       CASE WHEN (s.doc_id * 2654435761) % 1000 < 800 THEN 'train'
-            WHEN (s.doc_id * 2654435761) % 1000 < 900 THEN 'val'
+       CASE WHEN ((s.doc_id % 2147483647) * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN ((s.doc_id % 2147483647) * 2654435761) % 1000 < 900 THEN 'val'
             ELSE 'test' END AS split
 FROM survivors s JOIN rates r ON s.lang = r.dom
 """,
@@ -5169,7 +5205,13 @@ def x1_bloom_decontaminate(spark, sf_dir):
 @query(
     "x2_knn_join",
     oracle="""
-WITH e AS (
+WITH params AS (
+    SELECT CASE WHEN COUNT(*) <= 32 THEN 4
+           ELSE GREATEST(4, LEAST(24, CAST(ceil(log2(COUNT(*) / 32.0)) AS INT)))
+           END AS nb
+    FROM embeddings
+),
+e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 sig AS (
@@ -5178,8 +5220,8 @@ sig AS (
                     list_sum([v[i] * (((b * 37 + (i - 1) * 101 + 13 + 42) % 7) - 3)
                               for i in generate_series(1, len(v))]) > 0
                     THEN CAST(power(2, b) AS BIGINT) ELSE 0 END
-                 for b in generate_series(0, 3)]) AS BIGINT) AS bucket
-    FROM e
+                 for b in generate_series(0, p.nb - 1)]) AS BIGINT) AS bucket
+    FROM e CROSS JOIN params p
 ),
 n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 sided AS (
@@ -5202,29 +5244,43 @@ SELECT q_id, cand_id, cosine, rank FROM ranked WHERE rank <= 3
 )
 def x2_knn_join(spark, sf_dir):
     """X2 corpus-wide kNN self-join (operators/similarity.knn_join): every
-    vector gets its top-3 in-bucket neighbors — 4-bit portable hyperplane
-    buckets bound the pair space to ~N²/16, one bucket-keyed shuffle plus
-    the per-id WindowGroupLimit rank.  The batch primitive behind near-dup
-    graphs and contrastive-pair mining; the DuckDB oracle replays buckets,
-    cosines, and ranks end to end."""
+    vector gets its top-3 in-bucket neighbors.  The hyperplane signature
+    width is DERIVED from the corpus count (similarity.derive_n_bits:
+    ceil(log2(N/32)) clamped to [4,24]) so expected bucket occupancy —
+    hence candidate pairs per vector — stays ~32 at ANY corpus size:
+    pair volume is linear in N, not the N²/2^fixed_bits quadratic the
+    round-4 audit flagged.  One bucket-keyed shuffle plus the per-id
+    WindowGroupLimit rank.  The DuckDB oracle replays the bit-width
+    derivation (params CTE over COUNT(*)), buckets, cosines, and ranks
+    end to end."""
     return similarity.knn_join(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, n_bits=4, seed=42
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, seed=42
     )
 
 
-#: temp dirs of the previous csv/orc round-trip invocations
-_RT_DIRS: list = []
+#: one stable temp dir per round-trip query prefix (see _rt_tmpdir)
+_RT_DIRS: dict = {}
 
 
 def _rt_tmpdir(prefix: str) -> str:
+    """Per-query round-trip scratch dir, removed only at interpreter exit.
+
+    Results are LAZY: a caller may build several round-trip plans
+    (s19/s20/s21/s22/s23/s24/x2_index_persist) before evaluating the first,
+    so deleting another query's dir at build time would yank files out from
+    under a not-yet-evaluated scan (the round-4 ADVICE finding).  Keying by
+    prefix means re-building the same query reuses its dir (the writes are
+    mode=overwrite), so repeated bench/test runs don't accumulate disk, and
+    the atexit hook cleans everything up at process exit."""
+    import atexit
     import shutil
     import tempfile
 
-    while _RT_DIRS:
-        shutil.rmtree(_RT_DIRS.pop(), ignore_errors=True)
-    out = tempfile.mkdtemp(prefix=prefix)
-    _RT_DIRS.append(out)
-    return out
+    if prefix not in _RT_DIRS:
+        out = tempfile.mkdtemp(prefix=prefix)
+        _RT_DIRS[prefix] = out
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return _RT_DIRS[prefix]
 
 
 @query(
@@ -5407,7 +5463,7 @@ def x1_cdc_chunks(spark, sf_dir):
     oracle=f"""
 WITH h AS (
     SELECT doc_id,
-           ((doc_id + 1 * 40503) * {sampling.KNUTH}) % {sampling._P31} AS hh
+           (((doc_id + 1 * 40503) % 2147483647) * {sampling.KNUTH}) % {sampling._P31} AS hh
     FROM documents
 )
 SELECT doc_id,
@@ -5551,13 +5607,17 @@ def s22_schema_evolution(spark, sf_dir):
     pushed-down per batch."""
     out = _rt_tmpdir("schema_evo_")
     docs = _t(spark, sf_dir, "documents")
-    mid = docs.agg(F.floor(F.max("doc_id") / 2).alias("m")).collect()[0].m
-    docs.filter(F.col("doc_id") <= mid).select("doc_id", "lang").write.mode(
+    # split point stays a lazy 1-row broadcast (no driver collect/extra
+    # job): each batch's write plan embeds the scalar agg as a
+    # BroadcastNestedLoopJoin against a provably-1-row relation
+    cut = F.broadcast(docs.agg(F.floor(F.max("doc_id") / 2).alias("mid")))
+    split = docs.crossJoin(cut)
+    split.filter(F.col("doc_id") <= F.col("mid")).select("doc_id", "lang").write.mode(
         "overwrite"
     ).parquet(out + "/b1")
-    docs.filter(F.col("doc_id") > mid).select("doc_id", "lang", "n_chars").write.mode(
-        "overwrite"
-    ).parquet(out + "/b2")
+    split.filter(F.col("doc_id") > F.col("mid")).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(out + "/b2")
     return spark.read.option("mergeSchema", True).parquet(out + "/b1", out + "/b2")
 
 
@@ -5645,7 +5705,7 @@ capped AS (
 )
 SELECT doc_id, source,
        CAST(ROW_NUMBER() OVER (
-           ORDER BY ((doc_id + 40503) * {sampling.KNUTH}) % {sampling._P31} ASC,
+           ORDER BY (((doc_id + 40503) % 2147483647) * {sampling.KNUTH}) % {sampling._P31} ASC,
                     doc_id ASC) - 1 AS BIGINT) AS position
 FROM capped
 """
@@ -5752,15 +5812,18 @@ def x1_incremental_dedup(spark, sf_dir):
     shuffle-free on the bucket; here it is one equi-join, new-batch-sized
     output, no full-corpus rescan."""
     docs = _t(spark, sf_dir, "documents")
-    mid = docs.agg(F.floor(F.max("doc_id") / 2).alias("m")).collect()[0].m
-    fp = text.fingerprint_md5(docs)
+    # lazy 1-row broadcast split point (no driver collect/extra job),
+    # the same pattern every other split in this registry uses
+    cut = F.broadcast(docs.agg(F.floor(F.max("doc_id") / 2).alias("mid")))
+    fp = text.fingerprint_md5(docs).crossJoin(cut)
     hist = (
-        fp.filter(F.col("doc_id") <= mid)
+        fp.filter(F.col("doc_id") <= F.col("mid"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("dup_of"))
     )
     return (
-        fp.filter(F.col("doc_id") > mid)
+        fp.filter(F.col("doc_id") > F.col("mid"))
+        .drop("mid")
         .join(hist, "fingerprint", "left")
         .select(
             "doc_id",
@@ -6036,7 +6099,7 @@ WITH d AS (SELECT doc_id FROM documents),
 n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents)
 SELECT d.doc_id AS anchor_id,
        CAST(sub.j AS INT) AS neg_idx,
-       (d.doc_id + 1 + (d.doc_id * {sampling.KNUTH} + sub.j * 40503)
+       (d.doc_id + 1 + ((d.doc_id % 2147483647) * {sampling.KNUTH} + sub.j * 40503)
         % (n.n_docs - 1)) % n.n_docs AS negative_id
 FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) sub
        CROSS JOIN n
@@ -6069,7 +6132,8 @@ def x6_negative_pairs(spark, sf_dir):
                     F.col("anchor_id")
                     + 1
                     + (
-                        F.col("anchor_id") * sampling.KNUTH
+                        F.pmod(F.col("anchor_id"), F.lit(sampling._P31))
+                        * sampling.KNUTH
                         + F.col("neg_idx") * 40_503
                     )
                     % (F.col("n_docs") - 1)

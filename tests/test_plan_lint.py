@@ -47,6 +47,8 @@ BNLJ_OK = {
     "x6_negative_pairs": "1-row corpus-size scalar crossed into the anchor projection",
     "x2_mmr_rerank": "composes brute_force_topk (10 broadcast query vectors vs corpus, bounded probe set)",
     "x12_class_balance": "1-row totals relation crossed into the |classes|-row count table",
+    "x1_incremental_dedup": "1-row max-doc_id split-point relation crossed in (replaced the round-4 driver-side collect)",
+    "s22_schema_evolution": "1-row max-doc_id split-point relation crossed into each batch write (replaced the round-4 driver-side collect)",
 }
 
 # A single-partition exchange feeding a Window is only safe when the
