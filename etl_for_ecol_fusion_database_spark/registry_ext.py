@@ -5351,7 +5351,7 @@ WITH ranked AS (
     SELECT event_id, user_id, event_type,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY user_id
-               ORDER BY (event_id * {sampling.KNUTH}) % {sampling._P31} ASC,
+               ORDER BY ((event_id % {sampling._P31}) * {sampling.KNUTH}) % {sampling._P31} ASC,
                         event_id ASC) AS INT) AS sample_rank
     FROM events
 )
@@ -5495,7 +5495,7 @@ WITH e AS (
 p AS (
     SELECT e.vec_id, sub.j,
            round(list_sum([e.v[i + 1]
-                           * CAST(((sub.j * 2654435761 + i * 40503 + 42)
+                           * CAST((((sub.j % 2147483647) * 2654435761 + i * 40503 + 42)
                                    % 1000003) % 7 - 3 AS DOUBLE)
                            for i in generate_series(0, len(e.v) - 1)]), 6) AS y
     FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) sub
@@ -5699,7 +5699,7 @@ capped AS (
         SELECT doc_id, source,
                ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * {sampling.KNUTH}) % {sampling._P31} ASC,
+                   ORDER BY ((doc_id % {sampling._P31}) * {sampling.KNUTH}) % {sampling._P31} ASC,
                             doc_id ASC) AS rn
         FROM kept) WHERE rn <= 30
 )

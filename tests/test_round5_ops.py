@@ -1,5 +1,6 @@
-"""Round-5 additions: knn_join scale-safety (adaptive signature width),
-sampling-hash overflow safety, and the flagship skew witness.
+"""Round-5 additions: knn_join scale-safety (adaptive signature width)
+and sampling-hash overflow safety.  (The flagship AQE skew-join witness
+lives in ``tests/test_scale_ops.py::test_aqe_skew_join_splits_flagship_shape``.)
 
 The round-4 verdict's one flagged scale-killer was ``x2_knn_join``'s fixed
 4-bit bucketing (candidate pairs ~N²/16 — a constant divisor, still
