@@ -575,7 +575,13 @@ def mmr_rerank(
         rel = pdf["cosine"].to_numpy(dtype=np.float64)
         M = np.stack(pdf["cv"].to_numpy())
         norms = np.linalg.norm(M, axis=1)
-        sims = (M @ M.T) / np.outer(norms, norms)
+        # Round pairwise sims to 6dp: BLAS sum order differs from a
+        # sequential SQL fold in the last ulp, and the greedy argmax
+        # compares scores built from these sims — snapping to 6 decimals
+        # makes the whole selection trace replayable by an ANSI-SQL
+        # oracle (same portability trick as brute_force_topk's rounded
+        # cosine, applied to the redundancy term).
+        sims = np.round((M @ M.T) / np.outer(norms, norms), 6)
         selected: list[int] = []
         out_rows = []
         remaining = list(range(len(ids)))

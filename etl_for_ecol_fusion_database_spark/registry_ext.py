@@ -1272,17 +1272,76 @@ def x3_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(docs, "text", k=3).orderBy("doc_id", "rank")
 
 
-@query("x8_kmeans_clusters")  # iterative driver loop -> rows-only
+def _kmeans_clusters_oracle(k: int = 8, n_assign: int = 4, dp: int = 6, dim: int = 64) -> str:
+    """DuckDB replay of the FULL fixed-iteration Lloyd's loop: chained
+    CTEs — assignment t from centroids t-1 (ROW_NUMBER ties to the lowest
+    cluster = Spark's least + first-equal rule), centroids t =
+    round(AVG, dp) per (cluster, pos) with COALESCE keeping empty
+    clusters' previous centroid.  Rounding the means to ``dp`` decimals is
+    what makes the loop engine-portable: AVG partial-sum order differs
+    across engines/partitionings in the last ulp, and the rounding snaps
+    both sides to the same decimal before the next assignment round (the
+    x2_group_centroids / rounded-cosine trick applied iteratively).
+    ``n_assign`` assignment CTEs with ``n_assign - 1`` interleaved
+    updates replay Spark's ``kmeans_fit(n_iter=n_assign - 1)`` exactly
+    (the loop runs n_iter assignment+update rounds, then one final
+    assignment against the last centroids)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"""c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
+    FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for t in range(1, n_assign + 1):
+        parts.append(f""", a{t} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                             for i in generate_series(1, {dim})]) ASC,
+                   c.cluster ASC) AS rn
+        FROM e CROSS JOIN c{t - 1} c
+    ) WHERE rn = 1
+)""")
+        if t == n_assign:
+            break
+        parts.append(f""", m{t} AS (
+    SELECT a.cluster, CAST(i AS INT) AS pos, round(AVG(e.v[i]), {dp}) AS m
+    FROM a{t} a JOIN e USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i)
+    GROUP BY a.cluster, i
+), c{t} AS (
+    SELECT p.cluster, COALESCE(n.cv, p.cv) AS cv
+    FROM c{t - 1} p LEFT JOIN (
+        SELECT cluster, list(m ORDER BY pos) AS cv FROM m{t} GROUP BY cluster
+    ) n USING (cluster)
+)""")
+    parts.append(f"\nSELECT vec_id, cluster FROM a{n_assign}")
+    return "".join(parts)
+
+
+@query("x8_kmeans_clusters", oracle=_kmeans_clusters_oracle())
 def x8_kmeans_clusters(spark, sf_dir):
     """X8 embedding k-means (Lloyd's, k=8, 3 iterations, deterministic
     lowest-id init — operators/clustering.py): per-vector cluster
-    assignment.  Iterative with driver-held k x dim state, so there is no
-    single-SQL oracle; tests/test_curation_ops.py verifies the exact
-    assignment against a NumPy reference implementation."""
+    assignment.  ``round_dp=6`` snaps each updated centroid mean to 6
+    decimals before the next assignment round, which makes the whole
+    fixed-iteration loop replayable by the chained-CTE ANSI-SQL oracle
+    (and layout-stable: a float mean is the loop's one order-sensitive
+    reduction).  tests/test_curation_ops.py additionally verifies the
+    raw (un-rounded) loop against a NumPy reference implementation.
+
+    Note: Spark runs n_iter full assignment+update rounds and then one
+    FINAL assignment against the last centroids; the oracle mirrors that
+    as n_iter assignment CTEs with n_iter-1 interleaved updates — the
+    same loop unrolled."""
     from .operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assign = clustering.kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=3)
+    _, assign = clustering.kmeans_fit(
+        emb, "vec_id", "embedding", k=8, n_iter=3, round_dp=6
+    )
     return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")
 
 
@@ -6305,15 +6364,96 @@ def x11_running_distinct(spark, sf_dir):
     )
 
 
-@query("x2_mmr_rerank")  # greedy float selection -> rows-only driver check
+def _mmr_oracle(n_queries: int = 10, n_candidates: int = 20, k: int = 5,
+                lam: float = 0.7) -> str:
+    """DuckDB replay of the greedy MMR trace, unrolled to ``k`` pick CTEs.
+
+    Replayable because every float the argmax compares is snapped to 6dp
+    on both sides: relevance = brute-force cosine (rounded 6, the
+    x2_cosine_topk pattern) and the pairwise candidate sims (rounded 6 in
+    the Pandas UDF — see operators/similarity.mmr_rerank).  Scores are
+    then plain IEEE double ops on identical inputs, so the per-step
+    (score DESC, cand_id ASC) winner matches NumPy's first-max argmax
+    over ascending-id candidates.  ``1 - lam`` is embedded with full
+    float repr (0.7 -> 0.30000000000000004) so both engines subtract the
+    identical double."""
+    om = repr(1.0 - lam)  # exact IEEE repr, e.g. 0.30000000000000004
+    lam_s = repr(lam)
+    parts = [f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS rel
+    FROM base q JOIN base c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {n_queries}
+),
+cands AS (
+    SELECT q_id, cand_id, rel FROM (
+        SELECT q_id, cand_id, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY rel DESC, cand_id ASC) AS rnk
+        FROM scored) WHERE rnk <= {n_candidates}
+),
+sims AS (
+    SELECT c1.q_id, c1.cand_id AS a, c2.cand_id AS b,
+           round(list_dot_product(ba.v, bb.v) / (ba.norm * bb.norm), 6) AS sim
+    FROM cands c1
+    JOIN cands c2 ON c1.q_id = c2.q_id AND c1.cand_id != c2.cand_id
+    JOIN base ba ON ba.vec_id = c1.cand_id
+    JOIN base bb ON bb.vec_id = c2.cand_id
+)"""]
+    for s in range(1, k + 1):
+        if s == 1:
+            score = f"CAST({lam_s} AS DOUBLE) * c.rel"
+            joins = ""
+            excl = ""
+        else:
+            prev = range(1, s)
+            joins = "".join(
+                f"\n    JOIN p{i} ON p{i}.q_id = c.q_id" for i in prev
+            ) + "".join(
+                f"\n    JOIN sims s{i} ON s{i}.q_id = c.q_id"
+                f" AND s{i}.a = c.cand_id AND s{i}.b = p{i}.cand_id"
+                for i in prev
+            )
+            pen = (f"s{s - 1}.sim" if s == 2
+                   else "GREATEST(" + ", ".join(f"s{i}.sim" for i in prev) + ")")
+            score = (f"CAST({lam_s} AS DOUBLE) * c.rel"
+                     f" - CAST({om} AS DOUBLE) * {pen}")
+            excl = ("\n    WHERE c.cand_id NOT IN ("
+                    + ", ".join(f"p{i}.cand_id" for i in prev) + ")")
+        parts.append(f""", p{s} AS (
+    SELECT q_id, cand_id, score FROM (
+        SELECT c.q_id, c.cand_id, {score} AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                   ORDER BY {score} DESC, c.cand_id ASC) AS rn
+        FROM cands c{joins}{excl}
+    ) WHERE rn = 1
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT q_id, cand_id, CAST({s} AS INT) AS mmr_rank,"
+        f" round(score, 6) AS mmr_score FROM p{s}"
+        for s in range(1, k + 1)
+    )
+    parts.append("\n" + finals)
+    return "".join(parts)
+
+
+@query("x2_mmr_rerank", oracle=_mmr_oracle())
 def x2_mmr_rerank(spark, sf_dir):
     """X2 MMR diversified re-ranking (operators/similarity.mmr_rerank):
     greedy relevance-vs-redundancy selection over each query's bounded
     top-20 candidates, vectorized per group in applyInPandas — the
-    diversified-retrieval pass after ANN.  NumPy float scores make the
-    selection engine-specific (rows-only for the driver); the exact
-    greedy trace is replayed by the property test in
-    tests/test_round4b_ops.py."""
+    diversified-retrieval pass after ANN.  Every float the greedy argmax
+    compares is snapped to 6dp (relevance cosines AND pairwise sims), so
+    the selection trace is engine-portable and the unrolled k-step
+    DuckDB oracle replays it exactly; the same trace is independently
+    replayed driver-side by tests/test_round4b_ops.py."""
     return similarity.mmr_rerank(
         _t(spark, sf_dir, "embeddings"), n_queries=10, n_candidates=20, k=5
     )

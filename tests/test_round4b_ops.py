@@ -665,7 +665,7 @@ def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
         rel = np.array([c for _, c in items], dtype=np.float64)
         M = np.stack([vecs[i] for i in ids])
         norms = np.linalg.norm(M, axis=1)
-        sims = (M @ M.T) / np.outer(norms, norms)
+        sims = np.round((M @ M.T) / np.outer(norms, norms), 6)
         selected, remaining = [], list(range(len(ids)))
         for rank in range(1, 6):
             if selected:
