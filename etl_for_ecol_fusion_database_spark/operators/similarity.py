@@ -532,6 +532,66 @@ def random_projection(
     return base.select(F.col("id").alias(id_col), F.array(*ys).alias("proj"))
 
 
+def random_projection_fast(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Codegen fast path for :func:`random_projection`: posexplode the
+    vector to ``(id, i, x)`` rows, fan out the ``out_dim`` components per
+    element, and take per-``(id, j)`` SUMs — generate + project + hash
+    aggregate, ALL inside whole-stage codegen (the HOF fold is evaluated
+    by the interpreted lambda evaluator; a flat precomputed multiply-add
+    chain was tried and blows Janino's 64KB method limit at 16x64 terms,
+    falling back to interpreted too).  The plane component is inline
+    integer arithmetic of ``(j, i, seed)`` — still no materialized or
+    shipped projection matrix.  Partial aggregation completes each sum
+    map-side (every exploded row of a vector stays in its source row's
+    partition), so the shuffle carries exactly the output rows — N x
+    out_dim partial sums, nothing more.
+
+    Bit-parity: the hash aggregate updates each ``(id, j)`` group's
+    accumulator in exploded row order — ``i`` ascending, from the one
+    partial aggregate its single source row produces — the same
+    left-to-right order as the sequential fold, so results are
+    bit-identical to ``random_projection`` and the SAME ANSI-SQL oracle
+    replays them (hash-checked, not rows-only).
+
+    Output is long-form ``(id, dim_idx, y)`` — the shape downstream
+    consumers (and the per-group aggregate) want; use
+    :func:`random_projection` where the array-typed column is needed.
+    ``in_dim`` is unused (the explode adapts to the stored length); it is
+    kept in the signature so callers that validated against the corpus
+    schema can pass it for documentation.
+    """
+    j_col = F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j")
+    expl = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+        )
+        .select("id", "i", "x", j_col)
+    )
+    plane = (
+        (F.col("j").cast("long") * F.lit(2654435761) + F.col("i") * F.lit(40503)
+         + F.lit(seed)) % F.lit(1000003) % F.lit(7) - F.lit(3)
+    ).cast("double")
+    return (
+        expl.select("id", "j", (F.col("x") * plane).alias("t"))
+        .groupBy("id", "j")
+        .agg(F.sum("t").alias("y"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("j").cast("int").alias("dim_idx"),
+            "y",
+        )
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     id_col: str = "vec_id",

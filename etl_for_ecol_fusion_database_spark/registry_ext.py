@@ -5545,9 +5545,11 @@ def x6_epoch_shuffle(spark, sf_dir):
     )
 
 
-@query(
-    "x2_random_projection",
-    oracle="""
+#: Shared by x2_random_projection (portable HOF fold) and
+#: x2_random_projection_fast (codegen multiply-add chain) — the two Spark
+#: paths accumulate in the same left-to-right order, so ONE oracle replays
+#: both bit-for-bit.
+_JL_PROJECTION_ORACLE = """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -5560,8 +5562,10 @@ p AS (
     FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) sub
 )
 SELECT vec_id, CAST(j AS INT) AS dim_idx, y FROM p
-""",
-)
+"""
+
+
+@query("x2_random_projection", oracle=_JL_PROJECTION_ORACLE)
 def x2_random_projection(spark, sf_dir):
     """X2 Johnson-Lindenstrauss random projection
     (operators/similarity.random_projection): 64-dim embeddings reduced to
@@ -5579,6 +5583,29 @@ def x2_random_projection(spark, sf_dir):
     return proj.select(
         "vec_id", F.posexplode("proj").alias("dim_idx", "_y")
     ).select("vec_id", "dim_idx", F.round("_y", 6).alias("y"))
+
+
+@query("x2_random_projection_fast", oracle=_JL_PROJECTION_ORACLE)
+def x2_random_projection_fast(spark, sf_dir):
+    """X2 JL projection, codegen fast path
+    (operators/similarity.random_projection_fast): posexplode +
+    per-(vec_id, dim_idx) SUM — generate, project, and hash aggregate all
+    inside whole-stage codegen instead of the interpreted HOF fold.
+    Partial aggregation finishes each sum map-side, so the shuffle
+    carries exactly the N x 16 output rows.  The aggregate updates each
+    group in exploded row order (i ascending, one partial per group), the
+    same left-to-right order as the portable fold — so the result is
+    BIT-IDENTICAL to x2_random_projection and shares its oracle
+    (hash-checked, not rows-only)."""
+    proj = similarity.random_projection_fast(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        in_dim=64,
+        out_dim=16,
+        seed=42,
+    )
+    return proj.select("vec_id", "dim_idx", F.round("y", 6).alias("y"))
 
 
 @query(

@@ -1,0 +1,51 @@
+"""Round-6 additions: the codegen JL-projection twin and the oracle
+conversions of the last two rows-only showcase entries.
+
+Round-5 VERDICT item #2: register the posexplode + per-(id, j) SUM
+reshape beside the interpreted-HOF portable fold.  These tests pin the
+property that makes the twin hash-checkable rather than rows-only — the
+hash aggregate accumulates each group in exploded row order (one partial
+per group, i ascending), which is the same left-to-right order as the
+sequential fold, so the two paths must agree BIT-FOR-BIT, not just to a
+tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+from etl_for_ecol_fusion_database_spark.operators import similarity
+
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def test_jl_fast_path_bit_identical_to_portable_fold(spark):
+    """Unrounded doubles from both paths must be equal as Python floats
+    (bit-for-bit up to the driver's float64 round-trip) on every
+    (vec_id, dim_idx) cell."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    slow = similarity.random_projection(
+        emb, "vec_id", "embedding", out_dim=16, seed=42
+    ).select("vec_id", F.posexplode("proj").alias("dim_idx", "y"))
+    fast = similarity.random_projection_fast(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=42
+    )
+    s = {(r.vec_id, r.dim_idx): r.y for r in slow.collect()}
+    f = {(r.vec_id, r.dim_idx): r.y for r in fast.collect()}
+    assert s.keys() == f.keys() and len(s) >= 16
+    diffs = [k for k in s if s[k] != f[k]]
+    assert not diffs, f"paths diverge on {len(diffs)} cells, e.g. {diffs[:3]}"
+
+
+def test_jl_fast_path_partial_agg_and_no_python(spark):
+    """The reshape must plan as generate + project + hash aggregate with a
+    map-side partial (the exchange carries only partial sums) and no
+    Python evaluation anywhere."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    fast = similarity.random_projection_fast(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=42
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan, plan
