@@ -4923,7 +4923,7 @@ def x2_index_persist(spark, sf_dir):
     artifact).  Identical oracle to x2_ivf_pq_ann: persistence must not
     change a single ranked result.  At scale the artifact partitions by
     cell, so probing prunes to the probed cells' files."""
-    return _ivf_pq_search(spark, sf_dir, index_sink=_rt_tmpdir("ivfpq_index_"))
+    return _ivf_pq_search(spark, sf_dir, index_sink=_rt_tmpdir("ivfpq_index_", sf_dir))
 
 
 @query(
@@ -5311,35 +5311,66 @@ def x2_knn_join(spark, sf_dir):
     round-4 audit flagged.  One bucket-keyed shuffle plus the per-id
     WindowGroupLimit rank.  The DuckDB oracle replays the bit-width
     derivation (params CTE over COUNT(*)), buckets, cosines, and ranks
-    end to end."""
+    end to end.
+
+    The derivation needs the corpus count, which is an eager job at
+    plan-construction time (the width changes the NUMBER of signature
+    columns — structural, not expressible lazily).  The count is memoized
+    per fixture dir, so one process that builds this plan repeatedly
+    (plan lint + bench + verify) pays the column-pruned count scan once
+    per fixture rather than once per construction (round-5 ADVICE);
+    callers that must keep construction fully side-effect-free pass an
+    explicit n_bits instead."""
+    n = _KNN_CORPUS_COUNT.get(sf_dir)
+    if n is None:
+        n = _t(spark, sf_dir, "embeddings").select("vec_id").count()
+        _KNN_CORPUS_COUNT[sf_dir] = n
     return similarity.knn_join(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, seed=42
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=3,
+        n_bits=similarity.derive_n_bits(n),
+        seed=42,
     )
 
 
-#: one stable temp dir per round-trip query prefix (see _rt_tmpdir)
+#: corpus-count memo for x2_knn_join's adaptive signature width — one
+#: count job per fixture dir per process, not one per plan construction
+_KNN_CORPUS_COUNT: dict = {}
+
+
+#: one stable temp dir per (round-trip query prefix, fixture dir) pair
 _RT_DIRS: dict = {}
 
 
-def _rt_tmpdir(prefix: str) -> str:
-    """Per-query round-trip scratch dir, removed only at interpreter exit.
+def _rt_tmpdir(prefix: str, sf_dir: str) -> str:
+    """Per-(query, fixture) round-trip scratch dir, removed only at
+    interpreter exit.
 
     Results are LAZY: a caller may build several round-trip plans
     (s19/s20/s21/s22/s23/s24/x2_index_persist) before evaluating the first,
     so deleting another query's dir at build time would yank files out from
-    under a not-yet-evaluated scan (the round-4 ADVICE finding).  Keying by
-    prefix means re-building the same query reuses its dir (the writes are
-    mode=overwrite), so repeated bench/test runs don't accumulate disk, and
-    the atexit hook cleans everything up at process exit."""
+    under a not-yet-evaluated scan (the round-4 ADVICE finding).  The key
+    includes ``sf_dir`` (the round-5 ADVICE finding): re-building the SAME
+    query at a different scale factor gets its own dir, so the first
+    build's not-yet-evaluated plan keeps its files, and s23's loose
+    ``open()``-written per-doc files (which ``mode=overwrite`` does not
+    govern) can never be stale leftovers from a different fixture.
+    Re-building the same (query, fixture) reuses its dir — the Spark
+    writes are mode=overwrite and s23 rewrites the identical file set —
+    so repeated bench/test runs don't accumulate disk; the atexit hook
+    cleans everything up at process exit."""
     import atexit
     import shutil
     import tempfile
 
-    if prefix not in _RT_DIRS:
+    key = (prefix, sf_dir)
+    if key not in _RT_DIRS:
         out = tempfile.mkdtemp(prefix=prefix)
-        _RT_DIRS[prefix] = out
+        _RT_DIRS[key] = out
         atexit.register(shutil.rmtree, out, ignore_errors=True)
-    return _RT_DIRS[prefix]
+    return _RT_DIRS[key]
 
 
 @query(
@@ -5359,7 +5390,7 @@ def s19_csv_roundtrip(spark, sf_dir):
     strings (CSV has no timestamp type; round-tripping the FORMATTED value
     keeps the witness deterministic across writer versions).  The write is
     one narrow partition-parallel pass, no shuffle on either side."""
-    out = _rt_tmpdir("csv_roundtrip_")
+    out = _rt_tmpdir("csv_roundtrip_", sf_dir)
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
@@ -5388,7 +5419,7 @@ def s20_orc_roundtrip(spark, sf_dir):
     round trip, so the witness covers the binary encoding itself.  Like
     the parquet path, ORC scans support predicate pushdown and column
     pruning at scale; the write is narrow and partition-parallel."""
-    out = _rt_tmpdir("orc_roundtrip_")
+    out = _rt_tmpdir("orc_roundtrip_", sf_dir)
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -5630,7 +5661,7 @@ def s21_jsonl_corrupt_records(spark, sf_dir):
     corrupt lines land in the quarantine bucket with their raw text
     preserved for debugging.  DROPMALFORMED/FAILFAST are the same reader
     one option away."""
-    out = _rt_tmpdir("jsonl_corrupt_")
+    out = _rt_tmpdir("jsonl_corrupt_", sf_dir)
     docs = _t(spark, sf_dir, "documents")
     lines = docs.select(
         F.when(
@@ -5691,7 +5722,7 @@ def s22_schema_evolution(spark, sf_dir):
     surface NULL for the added column (checked by the oracle); at scale
     mergeSchema costs one footer read per file and scans stay pruned and
     pushed-down per batch."""
-    out = _rt_tmpdir("schema_evo_")
+    out = _rt_tmpdir("schema_evo_", sf_dir)
     docs = _t(spark, sf_dir, "documents")
     # split point stays a lazy 1-row broadcast (no driver collect/extra
     # job): each batch's write plan embeds the scalar agg as a
@@ -5850,7 +5881,7 @@ def s23_binaryfile_scan(spark, sf_dir):
     (maxPartitionBytes applies; no shuffle)."""
     import os
 
-    out = _rt_tmpdir("binfiles_")
+    out = _rt_tmpdir("binfiles_", sf_dir)
     rows = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 20)
@@ -6650,7 +6681,7 @@ def s24_partition_pruned_read(spark, sf_dir):
     dev-routed parquet sink with partitionBy; at scale add
     partitionOverwriteMode=dynamic for idempotent daily reloads
     (sources/writers.py:91)."""
-    out = _rt_tmpdir("part_events_")
+    out = _rt_tmpdir("part_events_", sf_dir)
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

@@ -164,3 +164,21 @@ def test_roundtrip_plans_survive_interleaved_builds(spark):
     q_orc = registry.QUERIES["s20_orc_roundtrip"](spark, SF_CORRECT)
     assert q_csv.count() > 0
     assert q_orc.count() > 0
+
+
+def test_roundtrip_same_query_two_scale_factors(spark):
+    """Round-5 ADVICE: building the SAME round-trip query at a second
+    scale factor must not overwrite files under the first build's
+    not-yet-evaluated lazy plan (scratch dirs are keyed by
+    (prefix, sf_dir)).  s23 additionally writes loose per-doc files
+    outside Spark's mode=overwrite, so per-fixture dirs are what keeps a
+    smaller fixture from scanning a bigger fixture's leftovers."""
+    from etl_for_ecol_fusion_database_spark import registry
+
+    small = registry.QUERIES["s23_binaryfile_scan"](spark, "/root/testdata/sf0.001")
+    big = registry.QUERIES["s23_binaryfile_scan"](spark, SF_CORRECT)
+    n_small, n_big = small.count(), big.count()
+    assert 0 < n_small <= 20 and 0 < n_big <= 20
+    # evaluating the FIRST plan after the second build must still see its
+    # own fixture's files, not the other's
+    assert small.count() == n_small
