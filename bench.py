@@ -160,7 +160,15 @@ HEADLINE = [
     "x1_dup_explain",
     "x8_kmeans_elbow",
     "j10_abandoned_views",
+    # round 6: codegen JL-projection twin (vs the portable fold above)
+    "x2_random_projection_fast",
 ]
+
+#: timed runs per query; the reported figure is the MEDIAN.  Round-4/5
+#: single-shot timings produced ±0.5 s phantom swings in both directions
+#: from run-order noise alone; the median of 3 makes two consecutive bench
+#: invocations agree per-query instead of flagging ghosts.
+N_RUNS = 3
 
 
 #: full per-query detail (timings at 3dp, shuffle bytes, errors) is written
@@ -216,6 +224,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     shuffle_bytes: dict[str, dict[str, int]] = {}
 
     # warm the JVM once (codegen, shuffle + window machinery) — not counted
@@ -244,21 +253,32 @@ def main() -> None:
                 pass
         # one broken query must not void the whole bench (a round-2 bench
         # produced NO data because a single query raised): record the error,
-        # keep timing the rest, surface everything in the JSON line
+        # keep timing the rest, surface everything in the JSON line.
+        # N_RUNS timed runs, median reported; shuffle deltas bracket the
+        # first run only (per-run shuffle volume is deterministic).
+        runs: list[float] = []
+        failed = False
         before = _shuffle_totals(spark)
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 - report, don't die
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        for i in range(N_RUNS):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).count()
+            except Exception as exc:  # noqa: BLE001 - report, don't die
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                failed = True
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+            if i == 0:
+                after = _shuffle_totals(spark)
+                if before is not None and after is not None:
+                    shuffle_bytes[name] = {
+                        "read": max(0, after[0] - before[0]),
+                        "write": max(0, after[1] - before[1]),
+                    }
+        if failed:
             continue
-        after = _shuffle_totals(spark)
-        if before is not None and after is not None:
-            shuffle_bytes[name] = {
-                "read": max(0, after[0] - before[0]),
-                "write": max(0, after[1] - before[1]),
-            }
+        all_runs[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
 
     # ingest-shaped copy (BASELINE.md): read the two biggest tables, apply the
     # fusion-style transform (lineage lit + derived cols), write parquet.
@@ -286,6 +306,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": N_RUNS,
+        "all_runs": all_runs,
         "shuffle_bytes": shuffle_bytes,
         "sf": sf_val,
         "ingest_rows": n_rows,

@@ -327,9 +327,32 @@ def running_value_stats(events: DataFrame) -> DataFrame:
     operator it modernizes (running_latest_status).
 
     Runtime note: the transformWithState driver worker requires
-    ``google.protobuf`` (its state-server protocol); in containers
-    without it the query fails at initialization — the parity test skips
-    there and applyInPandasWithState remains the exercised path."""
+    ``google.protobuf`` (its state-server protocol), which this container
+    cannot install (no network, no bundled wheel — re-confirmed round 6);
+    the end-to-end parity test skips there and applyInPandasWithState
+    remains the in-container-exercised runtime path.  The processor's
+    REDUCER logic is module-level (``make_running_value_stats_processor``)
+    so tests drive init/handleInputRows against a fake state handle and
+    the multi-batch fold == batch-aggregate invariant is exercised even
+    where the wire protocol cannot run."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_value_stats_processor(),
+        outputStructType=RUNNING_VALUE_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_running_value_stats_processor():
+    """Build the ``RunningValueStats`` StatefulProcessor (see
+    :func:`running_value_stats`).  Factory-shaped so the class definition
+    (which subclasses the Spark-4 StatefulProcessor ABC) imports lazily,
+    and so tests can instantiate the processor and drive
+    ``init``/``handleInputRows`` directly with a stub
+    StatefulProcessorHandle/ValueState — covering the reducer semantics
+    without the protobuf state-server runtime."""
+    import pandas as pd
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -367,9 +390,4 @@ def running_value_stats(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningValueStats(),
-        outputStructType=RUNNING_VALUE_OUT,
-        outputMode="Update",
-        timeMode="None",
-    )
+    return RunningValueStats()

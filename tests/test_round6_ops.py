@@ -49,3 +49,69 @@ def test_jl_fast_path_partial_agg_and_no_python(spark):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# transformWithState reducer logic (protobuf-free coverage)
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_running_value_stats_processor_folds_across_batches():
+    """The transformWithState driver worker needs google.protobuf, which
+    this container cannot install — so the REDUCER is exercised directly:
+    init + handleInputRows over two simulated micro-batches must converge
+    to the batch aggregate (commutative monoid fold), and state must
+    carry between calls."""
+    import pandas as pd
+
+    from etl_for_ecol_fusion_database_spark.streaming.events_stream import (
+        make_running_value_stats_processor,
+    )
+
+    proc = make_running_value_stats_processor()
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame({"value": [1.0, 5.0, 2.0]})
+    b2 = pd.DataFrame({"value": [10.0]})
+    empty = pd.DataFrame({"value": []})
+
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert len(out1) == 1
+    r1 = out1[0].iloc[0]
+    assert (r1.user_id, r1.n_events, r1.total_value, r1.max_value) == (7, 3, 8.0, 5.0)
+
+    # second micro-batch: state from the first must fold in; empty frames
+    # must not disturb the accumulator
+    out2 = list(proc.handleInputRows((7,), iter([empty, b2]), None))
+    r2 = out2[0].iloc[0]
+    assert (r2.user_id, r2.n_events, r2.total_value, r2.max_value) == (7, 4, 18.0, 10.0)
+
+    # equals the single-batch aggregate over the concatenation
+    allv = pd.concat([b1, b2])["value"]
+    assert r2.n_events == len(allv)
+    assert r2.total_value == float(allv.sum())
+    assert r2.max_value == float(allv.max())
+    proc.close()

@@ -265,7 +265,11 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     protobuf to the state server; containers without ``google.protobuf``
     can't run it (applyInPandasWithState — test above — is the
     in-container-exercised stateful path), so this skips there and runs
-    wherever protobuf ships (any real cluster)."""
+    wherever protobuf ships (any real cluster).  Installing protobuf in
+    this sandbox was re-investigated round 6: no network access and no
+    bundled wheel exist, so the skip is permanent HERE — the processor's
+    reducer logic is instead exercised protobuf-free in
+    tests/test_round6_ops.py via a stub StatefulProcessorHandle."""
     import pytest
 
     try:
