@@ -617,6 +617,8 @@ def mmr_rerank(
     ever materializes more than a query's candidates; ties break to the
     lowest candidate id for determinism.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -635,13 +637,16 @@ def mmr_rerank(
         rel = pdf["cosine"].to_numpy(dtype=np.float64)
         M = np.stack(pdf["cv"].to_numpy())
         norms = np.linalg.norm(M, axis=1)
-        # Round pairwise sims to 6dp: BLAS sum order differs from a
+        # Snap pairwise sims to 6dp: BLAS sum order differs from a
         # sequential SQL fold in the last ulp, and the greedy argmax
-        # compares scores built from these sims — snapping to 6 decimals
-        # makes the whole selection trace replayable by an ANSI-SQL
-        # oracle (same portability trick as brute_force_topk's rounded
-        # cosine, applied to the redundancy term).
-        sims = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        # compares scores built from these sims — snapping makes the
+        # whole selection trace replayable by an ANSI-SQL oracle.  The
+        # snap is the EXPLICIT floor(x*1e6 + 0.5)/1e6 formula, not an
+        # engine round(): np.round is half-even, DuckDB round is
+        # half-away, Python round is correctly-rounded-half-even — they
+        # disagree near ties, while this exact IEEE sequence (multiply,
+        # add, floor, divide) is bit-identical everywhere.
+        sims = np.floor((M @ M.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
         selected: list[int] = []
         out_rows = []
         remaining = list(range(len(ids)))
@@ -660,7 +665,8 @@ def mmr_rerank(
                     "q_id": int(pdf["q_id"].iloc[0]),
                     "cand_id": int(ids[pick]),
                     "mmr_rank": rank,
-                    "mmr_score": round(float(scores[j]), 6),
+                    # same explicit 6dp snap as the sims (see above)
+                    "mmr_score": math.floor(float(scores[j]) * 1e6 + 0.5) / 1e6,
                 }
             )
             selected.append(pick)

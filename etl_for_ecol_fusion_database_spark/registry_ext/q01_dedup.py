@@ -1,0 +1,291 @@
+"""X1 deduplication — split from the single-module registry_ext (round 6).
+
+Registration order is load-bearing (the __spark_entry__ witness rotation
+samples in registration order): registry_ext/__init__.py imports the
+block modules in the original file's order and entries within each module
+keep their original sequence — append, don't reorder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..catalog import load_table  # noqa: F401
+from ..operators import dedup, multimodal, sampling, similarity, text  # noqa: F401
+from ..registry import query  # noqa: F401
+from ._shared import (  # noqa: F401
+    _LANG_CASE,
+    _LANG_GREATEST,
+    _LANG_SCORE_SQL,
+    _RT_DIRS,
+    _SCD2_FULL_RECOMPUTE_ORACLE,
+    _STOP_LIST,
+    _marker_list,
+    _rt_tmpdir,
+    _t,
+    _with_synthetic_near_dups,
+)
+
+# ===========================================================================
+# X1 — deduplication
+# ===========================================================================
+
+
+@query(
+    "x1_dedup_exact_docs",
+    oracle="""
+SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def x1_dedup_exact_docs(spark, sf_dir):
+    """X1 exact dedup on documents.text: hash-groupBy with deterministic
+    min-id survivorship (map-side combine collapses dup groups pre-shuffle)."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "x1_dedup_exact_events",
+    oracle="""
+SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_copies
+FROM events GROUP BY user_id, event_type
+""",
+)
+def x1_dedup_exact_events(spark, sf_dir):
+    """X1 exact dedup on a composite key (user_id, event_type)."""
+    return dedup.exact_dedup_groups(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], "event_id"
+    )
+
+
+@query(
+    "x1_ngram_jaccard_pairs",
+    oracle=r"""
+WITH sh AS (
+    SELECT doc_id AS id,
+           CASE WHEN len(toks) >= 2
+                THEN list_distinct([toks[i] || ' ' || toks[i+1]
+                                    for i in generate_series(1, len(toks) - 1)])
+                ELSE list_distinct(toks) END AS sh
+    FROM (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+        FROM documents WHERE doc_id < 200
+    ) t
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) >= 0.05
+""",
+)
+def x1_ngram_jaccard_pairs(spark, sf_dir):
+    """X1 n-gram Jaccard near-dup scoring (exact all-pairs over a bounded id
+    range — the ground truth the MinHash path approximates)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.05, max_id=200
+    )
+
+
+
+
+@query("x1_minhash_near_dup")  # xxhash64-based -> rows-only driver check
+def x1_minhash_near_dup(spark, sf_dir):
+    """X1 MinHash+LSH near-dup pairs (shingle -> 32-hash signature -> 8-band
+    bucketing -> candidate join -> exact-Jaccard verify).  Synthetic mutated
+    copies are injected so true near-dups exist; recall vs the exact
+    ngram-Jaccard ground truth is asserted in tests/test_ext_operators.py."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(
+        docs, n=2, num_hashes=32, n_bands=8, threshold=0.4
+    )
+
+
+def _minhash_portable_oracle() -> str:
+    """DuckDB replay of the ENTIRE portable MinHash+LSH pipeline — built
+    from the same constants as operators/dedup.minhash_lsh_pairs_portable
+    so the two cannot drift."""
+    mins = ",\n           ".join(
+        f"MIN(({dedup._PORT_A[i]} * x + {dedup._PORT_B[i]}) % {dedup._P_PORT}) AS m_{i}"
+        for i in range(16)
+    )
+    bands = "\n             ".join(
+        "WHEN {b} THEN array_to_string([{slots}], ',')".format(
+            b=b, slots=", ".join(f"m_{b * 4 + j}" for j in range(4))
+        )
+        for b in range(4)
+    )
+    return rf"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+    FROM documents WHERE doc_id < 20
+),
+toks AS (
+    SELECT doc_id AS id,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+    FROM docs
+),
+sh AS (
+    SELECT id,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN list_distinct([t[i] || ' ' || t[i+1]
+                                           for i in generate_series(1, len(t) - 1)])
+                       ELSE list_distinct(t) END) AS shingle
+    FROM toks
+),
+h AS (
+    SELECT id, shingle,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(shingle)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)])
+                % {dedup._P_PORT} AS BIGINT) AS x
+    FROM sh
+),
+sig AS (
+    SELECT id, COUNT(*) AS sz,
+           {mins}
+    FROM h GROUP BY id
+),
+banded AS (
+    SELECT id, sz, band_idx,
+           CASE band_idx
+             {bands}
+           END AS band_key
+    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh s1 ON s1.id = c.id_a
+    JOIN sh s2 ON s2.id = c.id_b AND s2.shingle = s1.shingle
+    GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (c.sz_a + c.sz_b - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+            / (c.sz_a + c.sz_b - coalesce(i.n_inter, 0)), 6) >= 0.4
+"""
+
+
+@query("x1_minhash_portable", oracle=_minhash_portable_oracle())
+def x1_minhash_portable(spark, sf_dir):
+    """X1 MinHash+LSH with the PORTABLE hash family
+    (operators/dedup.minhash_lsh_pairs_portable): md5-prefix base hash +
+    mod-p universal permutations, so the DuckDB oracle replays the entire
+    pipeline — signatures, band collisions, candidate join, exact-Jaccard
+    verification — and the driver value-hash checks it end-to-end.  This is
+    the oracle-verified witness for the MinHash pipeline SHAPE; the
+    xxhash64 fast path (x1_minhash_near_dup) keeps the production hash and
+    a rows-only check."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs_portable(
+        docs, n=2, num_hashes=16, n_bands=4, threshold=0.4
+    )
+
+
+@query("x1_simhash_near_pairs")  # xxhash64-based -> rows-only driver check
+def x1_simhash_near_pairs(spark, sf_dir):
+    """X1 SimHash near-dup pairs at hamming<=6 via 4-block pigeonhole
+    equality joins (finds hamming<=3 exhaustively; 4-6 opportunistically)."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+def _simhash_portable_oracle() -> str:
+    """DuckDB replay of the portable SimHash pipeline — generated from the
+    same n_bits/blocks as operators/dedup.simhash_near_pairs_portable."""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    packing = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return rf"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+    FROM documents WHERE doc_id < 20
+),
+tok AS (
+    SELECT doc_id AS id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS t
+    FROM docs
+),
+h AS (
+    SELECT id,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(t)[j]) - 1)
+                          * CAST(power(16, 12 - j) AS BIGINT)
+                          for j in generate_series(1, 12)]) AS BIGINT) AS h
+    FROM tok
+),
+v AS (
+    SELECT id,
+           {votes}
+    FROM h GROUP BY id
+),
+fp AS (
+    SELECT id, CAST({packing} AS BIGINT) AS simhash FROM v
+),
+blocks AS (
+    SELECT id, simhash, b AS block_idx, (simhash >> (8 * b)) & 255 AS block_val
+    FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.block_idx = b.block_idx AND a.block_val = b.block_val AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("x1_simhash_portable", oracle=_simhash_portable_oracle())
+def x1_simhash_portable(spark, sf_dir):
+    """X1 SimHash with the PORTABLE md5-prefix hash family
+    (operators/dedup.simhash_near_pairs_portable): 32-bit fingerprint,
+    8-bit pigeonhole blocks, hamming<=3 — the DuckDB oracle replays votes,
+    packing, block join, and popcount verification exactly, so the SimHash
+    pipeline gets a full value-hash driver check beside the 63-bit
+    xxhash64 fast path's rows-only entry."""
+    docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs_portable(docs, max_hamming=3)
+
+
+@query(
+    "x1_embedding_near_dup",
+    oracle="""
+WITH base AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings WHERE vec_id < 200
+)
+SELECT id_a, id_b, cosine FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+    FROM base a JOIN base b ON a.id < b.id
+) t WHERE cosine >= 0.3
+""",
+)
+def x1_embedding_near_dup(spark, sf_dir):
+    """X1 embedding-cosine near-dup pairs (exact, bounded id range)."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, max_id=200
+    )
+
+

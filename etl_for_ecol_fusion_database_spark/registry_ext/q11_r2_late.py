@@ -1,0 +1,526 @@
+"""X5 gap-fill, grouped-UDAF median, null-safe join, fuzzy match, CUBE — split from the single-module registry_ext (round 6).
+
+Registration order is load-bearing (the __spark_entry__ witness rotation
+samples in registration order): registry_ext/__init__.py imports the
+block modules in the original file's order and entries within each module
+keep their original sequence — append, don't reorder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..catalog import load_table  # noqa: F401
+from ..operators import dedup, multimodal, sampling, similarity, text  # noqa: F401
+from ..registry import query  # noqa: F401
+from ._shared import (  # noqa: F401
+    _LANG_CASE,
+    _LANG_GREATEST,
+    _LANG_SCORE_SQL,
+    _RT_DIRS,
+    _SCD2_FULL_RECOMPUTE_ORACLE,
+    _STOP_LIST,
+    _marker_list,
+    _rt_tmpdir,
+    _t,
+    _with_synthetic_near_dups,
+)
+
+# ===========================================================================
+# X5 gap-fill, grouped-UDAF median, null-safe join, fuzzy match, CUBE
+# ===========================================================================
+
+
+@query(
+    "x5_gap_fill_hourly",
+    oracle="""
+WITH h AS (
+    SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hr,
+           SUM(CAST(value AS DECIMAL(38,6))) AS v_dec
+    FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY user_id),
+spine AS (
+    SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hr
+    FROM b
+),
+j AS (
+    SELECT s.user_id, s.hr, h.v_dec
+    FROM spine s LEFT JOIN h ON s.user_id = h.user_id AND s.hr = h.hr
+)
+SELECT user_id,
+       strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(v_dec IS NOT NULL AS INT) AS observed,
+       CAST(last_value(v_dec IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS v_filled
+FROM j
+""",
+)
+def x5_gap_fill_hourly(spark, sf_dir):
+    """X5 hypertable-style gap fill: densify each user's hourly series over
+    its own [min, max] hour range (``sequence`` + ``explode`` — the spine is
+    generated from one slim per-user aggregate, never materialized wide),
+    left-join the observed hourly sums back, and forward-fill gaps with
+    ``last(..., ignorenulls)`` over the user partition.  One shuffle on
+    user_id serves the agg, the spine join, and the fill window; the spine
+    side is tiny (per-user bounds) so AQE broadcasts it.  Decimal-accumulate
+    / final-double per the driver-canon convention."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("v_dec"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v_dec").isNotNull().cast("int").alias("observed"),
+        F.last("v_dec", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+    )
+
+
+@query(
+    "x3_grouped_median",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def x3_grouped_median(spark, sf_dir):
+    """X3 exact grouped median via ``applyInPandas`` — the Arrow-batched
+    grouped-UDAF escape hatch, exercised against a real DuckDB oracle (the
+    only such path with a full value-hash check; kmeans/decode are
+    rows-only).  Each (lang, source) group arrives as ONE pandas frame;
+    np.median's even-count linear interpolation matches DuckDB's median()
+    exactly on integer inputs.  Production note: for a plain median Spark's
+    built-in ``F.median`` stays JVM-side and is preferred — this entry
+    exists to pin the applyInPandas contract (schema, grouping, Arrow
+    batches) that genuinely-custom per-group logic needs."""
+    import pandas as pd
+
+    def _med(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        return pd.DataFrame(
+            [
+                {
+                    "lang": key[0],
+                    "source": key[1],
+                    "n_docs": len(pdf),
+                    "median_chars": float(np.median(pdf["n_chars"].to_numpy())),
+                }
+            ]
+        )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .applyInPandas(
+            _med, schema="lang string, source string, n_docs bigint, median_chars double"
+        )
+    )
+
+
+@query(
+    "j7_nullsafe_join",
+    oracle="""
+WITH c2 AS (
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                ELSE c_mktsegment END AS seg
+    FROM customer
+),
+l AS (SELECT seg, COUNT(*) AS n_cust FROM c2 GROUP BY seg),
+r AS (SELECT seg,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      FROM c2 GROUP BY seg)
+SELECT COALESCE(l.seg, '<null>') AS segment, l.n_cust, r.sum_bal
+FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+""",
+)
+def j7_nullsafe_join(spark, sf_dir):
+    """J7 null-safe equi-join (``eqNullSafe`` <=> / IS NOT DISTINCT FROM):
+    NULL join keys match each other instead of dropping — the semantics a
+    plain equi-join silently loses.  Catalyst still plans this as a hash
+    join (null-safe equality is a valid hash key), not a nested loop; both
+    sides here are one-row-per-segment aggregates, so the join broadcasts."""
+    c2 = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    l = c2.groupBy("seg").agg(F.count(F.lit(1)).alias("n_cust")).alias("l")
+    r = (
+        c2.groupBy("seg")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_bal")
+        )
+        .alias("r")
+    )
+    return l.join(r, F.col("l.seg").eqNullSafe(F.col("r.seg"))).select(
+        F.coalesce(F.col("l.seg"), F.lit("<null>")).alias("segment"),
+        "n_cust",
+        "sum_bal",
+    )
+
+
+@query(
+    "f9_levenshtein_match",
+    oracle="""
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+FROM supplier a
+JOIN supplier b
+  ON right(a.s_name, 1) = right(b.s_name, 1)
+ AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+)
+def f9_levenshtein_match(spark, sf_dir):
+    """F9 fuzzy entity matching: blocked Levenshtein self-join on supplier
+    names.  The blocking key (last name char) turns an all-pairs O(n^2)
+    comparison into an equi-join with ~n/100-sized buckets — the standard
+    record-linkage shape; at 100 TB the block key would be a phonetic or
+    n-gram key but the plan is identical.  ``levenshtein`` is a JVM built-in
+    (codegen), evaluated only on in-block pairs."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.expr("right(s_name, 1)").alias("blk")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+            F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "a7_cube_summary",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def a7_cube_summary(spark, sf_dir):
+    """A7 CUBE grouping sets (completes the ROLLUP/pivot family from a5/a6):
+    all 4 grouping combinations of (status, priority) in ONE scan — Spark
+    expands the cube map-side, so the input is read once and each partial
+    aggregate combines before the single shuffle.  Grouping-key NULLs are
+    sentinel-coalesced identically on both sides (the columns are non-null
+    in the data, so 'ALL' is unambiguous)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "x5_view_click_attribution",
+    oracle="""
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view'
+ AND c.event_type = 'click'
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '30 minutes'
+""",
+)
+def x5_view_click_attribution(spark, sf_dir):
+    """X5 interval join (batch twin of the stream-stream attribution join,
+    streaming/events_stream.view_click_interval_join): clicks matched to
+    same-user views within 30 minutes.  Plans as ONE user_id shuffle shared
+    by both sides plus a range predicate evaluated post-join — the
+    watermarked streaming form holds the identical shape with bounded state.
+    tests/test_streaming.py asserts the availableNow replay of the streaming
+    join equals this query row-for-row."""
+    from ..streaming.events_stream import view_click_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    return view_click_interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+    )
+
+
+@query(
+    "x10_cdc_merge",
+    oracle="""
+WITH ch AS (
+    SELECT o_custkey AS k, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+),
+latest AS (SELECT k, o_totalprice FROM ch WHERE rn = 1),
+upd AS (
+    SELECT k AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(o_totalprice AS DECIMAL(38,6)) AS c_acctbal,
+           CASE WHEN k % 97 = 0 THEN 'D' ELSE 'U' END AS op
+    FROM latest
+),
+ins AS (
+    SELECT -k AS c_custkey,
+           'Customer#new' || CAST(k AS VARCHAR) AS c_name,
+           CAST(o_totalprice AS DECIMAL(38,6)) AS c_acctbal,
+           'I' AS op
+    FROM latest WHERE k % 89 = 0
+),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+m AS (
+    SELECT COALESCE(g.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(g.c_name, b.c_name) AS c_name,
+           COALESCE(g.c_acctbal, CAST(b.c_acctbal AS DECIMAL(38,6))) AS bal,
+           g.op
+    FROM customer b FULL JOIN chg g ON b.c_custkey = g.c_custkey
+)
+SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS balance
+FROM m
+WHERE op IS NULL OR op <> 'D'
+""",
+)
+def x10_cdc_merge(spark, sf_dir):
+    """X10 CDC merge-apply (operators/cdc.py): a deterministic change feed
+    derived from each customer's latest order — balance updates for all,
+    deletes for custkey % 97 == 0, synthetic inserts (negated key) for
+    custkey % 89 == 0 — applied to the customer base table with full MERGE
+    semantics in ONE full-outer join.  Update rows carry NULL c_name to
+    exercise the partial-row column-wise coalesce path."""
+    from ..operators.cdc import merge_apply
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(38,6)").alias("c_acctbal")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("k"), "o_totalprice")
+    )
+    upd = latest.select(
+        F.col("k").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("c_acctbal"),
+        F.when(F.col("k") % 97 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    ins = latest.filter(F.col("k") % 89 == 0).select(
+        (-F.col("k")).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("k").cast("string")).alias("c_name"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("c_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    merged = merge_apply(base, upd.unionByName(ins), key="c_custkey")
+    return merged.select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("balance")
+    )
+
+
+@query(
+    "x3_ngram_lm_score",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, lower(text) AS s FROM documents),
+idx AS (
+    SELECT doc_id, lang, s, unnest(generate_series(1, length(s) - 2)) AS i
+    FROM t WHERE length(s) >= 3
+),
+tri AS (SELECT doc_id, lang, substr(s, i, 3) AS g FROM idx),
+model AS (
+    SELECT g, c FROM (
+        SELECT g, COUNT(*) AS c FROM tri WHERE lang = 'en' GROUP BY g
+    ) ORDER BY c DESC, g LIMIT 4096
+),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM model),
+j AS (
+    SELECT tri.doc_id, CAST(COALESCE(model.c, 0.5) AS DOUBLE) AS c, tot.tot
+    FROM tri LEFT JOIN model USING (g) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       round(AVG(ln(c / tot)), 6) AS lm_score
+FROM j GROUP BY doc_id
+""",
+)
+def x3_ngram_lm_score(spark, sf_dir):
+    """X3 n-gram language-model quality score (perplexity-style fluency
+    filter): a char-trigram unigram LM is trained on the in-corpus English
+    slice, then every document is scored by its mean trigram
+    log-probability (unseen trigrams floored at count 0.5).  Scale shape:
+    the model vocabulary is CAPPED at the top-4096 trigrams by count
+    (deterministic count-desc/gram-asc tiebreak, one TakeOrderedAndProject)
+    so the broadcast build side is provably bounded at ANY corpus size —
+    charset^3 is fine for ASCII but unbounded on a multilingual (CJK)
+    100-TB corpus; out-of-vocabulary trigrams take the unseen floor, which
+    is exactly the LM semantics.  Trigram expansion is a map-side
+    ``transform(sequence(...))`` (one pass, no per-row Python), and the
+    only data-sized shuffles are the model groupBy and the per-doc score
+    groupBy.  Scores rounded to 6 dp on both sides: libm vs JVM ``ln`` and
+    summation order differ below 1e-12, far inside the rounding guard."""
+    vocab_cap = 4096
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower("text").alias("s")
+    )
+    tri = t.filter(F.length("s") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+        ).alias("g"),
+    )
+    model = (
+        tri.filter(F.col("lang") == "en")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g"))
+        .limit(vocab_cap)
+    )
+    tot = model.agg(F.sum("c").cast("double").alias("tot"))
+    return (
+        tri.join(F.broadcast(model), "g", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.avg(F.log(F.coalesce(F.col("c"), F.lit(0.5)).cast("double") / F.col("tot"))),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+
+
+@query(
+    "x4_audio_chunks",
+    oracle=r"""
+WITH b AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE doc_id < 200 AND length(text) > 0
+),
+c AS (
+    SELECT doc_id, text, n,
+           unnest(generate_series(0, CAST(ceil(n / 192.0) AS INT) - 1)) AS idx
+    FROM b
+)
+SELECT doc_id,
+       CAST(idx AS INT) AS chunk_idx,
+       CAST(idx * 192 AS BIGINT) AS start_byte,
+       CAST(least(idx * 192 + 256, n) AS BIGINT) AS end_byte,
+       CAST(list_sum([ascii(text[i])
+                      for i in generate_series(idx * 192 + 1,
+                                               least(idx * 192 + 256, n))])
+            AS BIGINT) AS energy_raw
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+)
+def x4_audio_chunks(spark, sf_dir):
+    """X4 audio chunking: overlapping 256B windows every 192B over each
+    media payload (operators/multimodal.chunk_audio) — the audio framing
+    twin of x4_frame_sample's fixed-arity video sampler.  Variable fan-out
+    per row, all inside the Arrow batch.  The driver surface carries the
+    integer per-chunk byte sum (energy_raw), which the DuckDB oracle
+    replicates exactly — full value-hash coverage of the variable fan-out;
+    the float energy stays on the operator for consumers.
+    tests/test_curation_ops.py pins full-coverage, overlap arithmetic, and
+    determinism."""
+    from ..operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return (
+        multimodal.chunk_audio(media)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "chunk_idx", "start_byte", "end_byte", "energy_raw")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "j8_lateral_topk",
+    oracle="""
+SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+FROM nation n, LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+""",
+)
+def j8_lateral_topk(spark, sf_dir):
+    """J8 correlated LATERAL join (dependent join): top-3 customers per
+    nation expressed as a per-row correlated subquery with ORDER BY +
+    LIMIT.  Catalyst decorrelates this into a ranked window over ONE
+    customer shuffle (no per-nation re-execution) — demonstrating the SQL
+    surface accepts dependent joins and plans them scalably; values pass
+    through unmodified, so no canon casting beyond the explicit DOUBLE."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, tables=("nation", "customer"))
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+FROM nation n
+JOIN LATERAL (
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+) t
+"""
+    )
+
+

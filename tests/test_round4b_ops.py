@@ -647,6 +647,8 @@ def test_running_distinct_equals_prefix_distinct(spark, sf_dir):
 def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
     """The applyInPandas MMR selection must equal a driver-side greedy
     replay over the same candidates (ids, ranks, and 6dp scores)."""
+    import math
+
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -665,7 +667,7 @@ def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
         rel = np.array([c for _, c in items], dtype=np.float64)
         M = np.stack([vecs[i] for i in ids])
         norms = np.linalg.norm(M, axis=1)
-        sims = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        sims = np.floor((M @ M.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
         selected, remaining = [], list(range(len(ids)))
         for rank in range(1, 6):
             if selected:
@@ -675,7 +677,9 @@ def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
             scores = lam * rel[remaining] - (1 - lam) * penalty
             j = int(np.argmax(scores))
             pick = remaining[j]
-            expected.append((q, int(ids[pick]), rank, round(float(scores[j]), 6)))
+            expected.append(
+                (q, int(ids[pick]), rank, math.floor(float(scores[j]) * 1e6 + 0.5) / 1e6)
+            )
             selected.append(pick)
             remaining.pop(j)
     got = sorted(
