@@ -20,6 +20,7 @@ from ._shared import (  # noqa: F401
     _RT_DIRS,
     _SCD2_FULL_RECOMPUTE_ORACLE,
     _STOP_LIST,
+    _embedding_head,
     _marker_list,
     _rt_tmpdir,
     _t,
@@ -1334,10 +1335,7 @@ def x8_kmeans_assign(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = [
-        [float(x) for x in r.v]
-        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    ]
+    seeds = [v for _, v in _embedding_head(spark, sf_dir, 4)]
     return clustering.assign_clusters(emb, "v", seeds).select("vec_id", "cluster")
 
 
@@ -1670,10 +1668,7 @@ def x2_pq_encode(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = [
-        [float(x) for x in r.v]
-        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    ]
+    seeds = [v for _, v in _embedding_head(spark, sf_dir, 4)]
     codebooks = [[s[j * 16 : (j + 1) * 16] for s in seeds] for j in range(4)]
     return clustering.pq_encode(emb, "vec_id", "v", codebooks, sub_dim=16).select(
         F.col("id").alias("vec_id"), "subspace", "code"
@@ -1960,10 +1955,7 @@ def x1_semdedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = [
-        [float(x) for x in r.v]
-        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
+    seeds = [v for _, v in _embedding_head(spark, sf_dir, 16)]
     return dedup_ops.semantic_dedup(
         emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3
     ).select(F.col("id").alias("vec_id"), "cluster")

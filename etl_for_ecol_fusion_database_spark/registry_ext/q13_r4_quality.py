@@ -20,6 +20,7 @@ from ._shared import (  # noqa: F401
     _RT_DIRS,
     _SCD2_FULL_RECOMPUTE_ORACLE,
     _STOP_LIST,
+    _embedding_head,
     _marker_list,
     _rt_tmpdir,
     _t,
@@ -221,12 +222,11 @@ def x2_pq_adc_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    rows = emb.filter(F.col("vec_id") < 10).orderBy("vec_id").collect()
-    seeds = [[float(x) for x in r.v] for r in rows if r.vec_id < 4]
+    rows = _embedding_head(spark, sf_dir, 10)
+    seeds = [v for i, v in rows if i < 4]
     codebooks = [[s[j * 16 : (j + 1) * 16] for s in seeds] for j in range(4)]
     dt_rows = []
-    for r in rows:
-        qv = [float(x) for x in r.v]
+    for q_id, qv in rows:
         vals: list[float] = []
         for j in range(4):
             for c in range(4):
@@ -235,7 +235,7 @@ def x2_pq_adc_topk(spark, sf_dir):
                     diff = qv[j * 16 + i] - codebooks[j][c][i]
                     d += diff * diff
                 vals.append(d)
-        dt_rows.append((int(r.vec_id), *vals))
+        dt_rows.append((q_id, *vals))
     schema = StructType(
         [StructField("q_id", LongType())]
         + [
@@ -456,8 +456,8 @@ def _ivf_pq_search(spark, sf_dir, index_sink: str | None = None):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    head = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    cents = [[float(x) for x in r.v] for r in head]
+    head = _embedding_head(spark, sf_dir, 16)
+    cents = [v for _, v in head]
     codebooks = [[cents[c][j * 16 : (j + 1) * 16] for c in range(4)] for j in range(4)]
 
     def _sqd(a, b):
@@ -469,16 +469,15 @@ def _ivf_pq_search(spark, sf_dir, index_sink: str | None = None):
 
     probe_rows = []
     dt_rows = []
-    for r in head[:10]:
-        qv = [float(x) for x in r.v]
+    for q_id, qv in head[:10]:
         by_cell = sorted((_sqd(qv, c), ci) for ci, c in enumerate(cents))
-        probe_rows += [(int(r.vec_id), ci) for _, ci in by_cell[:4]]
+        probe_rows += [(q_id, ci) for _, ci in by_cell[:4]]
         vals = [
             _sqd(qv[j * 16 : (j + 1) * 16], codebooks[j][c])
             for j in range(4)
             for c in range(4)
         ]
-        dt_rows.append((int(r.vec_id), *vals))
+        dt_rows.append((q_id, *vals))
     probes = spark.createDataFrame(
         probe_rows,
         StructType([StructField("q_id", LongType()), StructField("cell", IntegerType())]),

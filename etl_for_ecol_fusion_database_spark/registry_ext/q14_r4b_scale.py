@@ -20,6 +20,7 @@ from ._shared import (  # noqa: F401
     _RT_DIRS,
     _SCD2_FULL_RECOMPUTE_ORACLE,
     _STOP_LIST,
+    _embedding_head,
     _marker_list,
     _rt_tmpdir,
     _t,
@@ -1695,10 +1696,7 @@ def x8_kmeans_elbow(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds16 = [
-        [float(x) for x in r.v]
-        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
+    seeds16 = [v for _, v in _embedding_head(spark, sf_dir, 16)]
     parts = []
     for k in (2, 4, 8, 16):
         cents = seeds16[:k]

@@ -115,3 +115,32 @@ def test_running_value_stats_processor_folds_across_batches():
     assert r2.total_value == float(allv.sum())
     assert r2.max_value == float(allv.max())
     proc.close()
+
+
+# ---------------------------------------------------------------------------
+# embedding-head memo (driver-side seed/centroid state reused across builds)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_head_memo_matches_direct_collect_and_caches(spark):
+    """_embedding_head must return exactly what the per-build collects it
+    replaced returned (vec_id-ascending (id, [float...]) pairs), and a
+    second call for the same (fixture, n) must hit the memo (same object),
+    so repeated plan builds pay the head-scan job once."""
+    from etl_for_ecol_fusion_database_spark.registry_ext._shared import (
+        _EMB_HEAD_MEMO,
+        _embedding_head,
+    )
+
+    _EMB_HEAD_MEMO.pop((SF_CORRECT, 10), None)
+    got = _embedding_head(spark, SF_CORRECT, 10)
+    direct = (
+        load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("vec_id") < 10)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert got == [(int(r.vec_id), [float(x) for x in r.v]) for r in direct]
+    assert [i for i, _ in got] == sorted(i for i, _ in got)
+    assert _embedding_head(spark, SF_CORRECT, 10) is got
