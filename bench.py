@@ -276,6 +276,9 @@ def main() -> None:
                         "write": max(0, after[1] - before[1]),
                     }
         if failed:
+            # a later-run failure must not leave orphan shuffle data for a
+            # query that has no timings entry (consumers join the two maps)
+            shuffle_bytes.pop(name, None)
             continue
         all_runs[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]

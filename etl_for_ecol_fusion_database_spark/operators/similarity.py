@@ -62,12 +62,22 @@ def brute_force_topk(
     *,
     k: int = 5,
     n_queries: int = 20,
+    snap6: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: the first ``n_queries`` ids probe the full corpus.
 
     The query side is broadcast (bounded, tiny); the corpus never shuffles
     until the per-query top-k, which ranks on (rounded cosine DESC, id ASC)
     for determinism.
+
+    ``snap6=True`` replaces ``round(cosine, 6)`` with the explicit
+    ``floor(x*1e6 + 0.5)/1e6`` snap — pure IEEE ops, bit-identical in
+    every engine, where engine ``round`` semantics can differ at
+    shortest-repr half-ties (Spark BigDecimal HALF_UP vs DuckDB binary).
+    Use it when the cosine FEEDS further exact comparisons (mmr_rerank's
+    greedy argmax replays the value downstream, so one divergent tie
+    would cascade through the whole selection trace); the default keeps
+    the established round(…, 6) output the cosine-top-k oracles pin.
     """
     corpus = with_norm(
         df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
@@ -77,9 +87,11 @@ def brute_force_topk(
         .filter(F.col("q_id") < n_queries),
         "qv",
     ).withColumnRenamed("norm", "qnorm")
-    sim = F.round(
-        dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6
-    )
+    raw = dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))
+    if snap6:
+        sim = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    else:
+        sim = F.round(raw, 6)
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("q_id") != F.col("cand_id"))
@@ -587,7 +599,12 @@ def random_projection_fast(
         .select(
             F.col("id").alias(id_col),
             F.col("j").cast("int").alias("dim_idx"),
-            "y",
+            # + 0.0 normalizes IEEE signed zero: SUM seeds its accumulator
+            # with the first term (an all-zero vector with a negative first
+            # plane component yields -0.0) while the sequential fold seeds
+            # with +0.0 — identical everywhere else, and the driver's canon
+            # prints -0.0 as "-0", so the parity guarantee needs the nudge
+            (F.col("y") + F.lit(0.0)).alias("y"),
         )
     )
 
@@ -623,7 +640,7 @@ def mmr_rerank(
     import pandas as pd
 
     cands = brute_force_topk(
-        df, id_col, vec_col, k=n_candidates, n_queries=n_queries
+        df, id_col, vec_col, k=n_candidates, n_queries=n_queries, snap6=True
     ).select("q_id", "cand_id", "cosine")
     vecs = df.select(
         F.col(id_col).alias("cand_id"),

@@ -208,12 +208,16 @@ def _kmeans_clusters_oracle(k: int = 8, n_assign: int = 4, dp: int = 6, dim: int
     """DuckDB replay of the FULL fixed-iteration Lloyd's loop: chained
     CTEs — assignment t from centroids t-1 (ROW_NUMBER ties to the lowest
     cluster = Spark's least + first-equal rule), centroids t =
-    round(AVG, dp) per (cluster, pos) with COALESCE keeping empty
-    clusters' previous centroid.  Rounding the means to ``dp`` decimals is
-    what makes the loop engine-portable: AVG partial-sum order differs
-    across engines/partitionings in the last ulp, and the rounding snaps
-    both sides to the same decimal before the next assignment round (the
-    x2_group_centroids / rounded-cosine trick applied iteratively).
+    ``floor(AVG * 10^dp + 0.5) / 10^dp`` per (cluster, pos) with COALESCE
+    keeping empty clusters' previous centroid.  Snapping the means to
+    ``dp`` decimals is what makes the loop engine-portable: AVG
+    partial-sum order differs across engines/partitionings in the last
+    ulp, and the snap collapses both sides to the same double before the
+    next assignment round.  The floor form (pure IEEE ops, identical
+    everywhere) is deliberate — engine ``round`` on doubles diverges at
+    shortest-repr half-ties (Spark BigDecimal HALF_UP vs DuckDB binary
+    rounding), and an iterative loop amplifies one divergent component
+    into different assignments.
     ``n_assign`` assignment CTEs with ``n_assign - 1`` interleaved
     updates replay Spark's ``kmeans_fit(n_iter=n_assign - 1)`` exactly
     (the loop runs n_iter assignment+update rounds, then one final
@@ -239,7 +243,8 @@ def _kmeans_clusters_oracle(k: int = 8, n_assign: int = 4, dp: int = 6, dim: int
         if t == n_assign:
             break
         parts.append(f""", m{t} AS (
-    SELECT a.cluster, CAST(i AS INT) AS pos, round(AVG(e.v[i]), {dp}) AS m
+    SELECT a.cluster, CAST(i AS INT) AS pos,
+           floor(AVG(e.v[i]) * {10**dp}.0 + 0.5) / {10**dp}.0 AS m
     FROM a{t} a JOIN e USING (vec_id)
     CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i)
     GROUP BY a.cluster, i

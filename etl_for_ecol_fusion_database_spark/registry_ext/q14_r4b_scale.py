@@ -1245,13 +1245,14 @@ def _mmr_oracle(n_queries: int = 10, n_candidates: int = 20, k: int = 5,
     """DuckDB replay of the greedy MMR trace, unrolled to ``k`` pick CTEs.
 
     Replayable because every float the argmax compares is snapped to 6dp
-    on both sides: relevance = brute-force cosine (rounded 6, the
-    x2_cosine_topk pattern) and the pairwise candidate sims, snapped via
-    the EXPLICIT ``floor(x*1e6 + 0.5)/1e6`` formula on both sides (see
-    operators/similarity.mmr_rerank — engine round() semantics differ
-    near half-ties: np.round/Python round are half-even, DuckDB is
-    half-away; the explicit multiply-add-floor-divide sequence is
-    bit-identical everywhere; the emitted mmr_score uses it too).
+    on both sides via the EXPLICIT ``floor(x*1e6 + 0.5)/1e6`` formula:
+    the relevance cosines (brute_force_topk with ``snap6=True`` — also
+    what the top-``n_candidates`` cut ranks on), the pairwise candidate
+    sims, and the emitted mmr_score (see operators/similarity.mmr_rerank
+    — engine round() semantics differ near half-ties: np.round/Python
+    round are half-even, DuckDB is half-away, Spark's Round goes through
+    the shortest decimal repr with HALF_UP; the explicit
+    multiply-add-floor-divide sequence is bit-identical everywhere).
     Scores are then plain IEEE double ops on identical inputs, so the
     per-step (score DESC, cand_id ASC) winner matches NumPy's first-max
     argmax over ascending-id candidates.  ``1 - lam`` is embedded with
@@ -1268,7 +1269,8 @@ WITH base AS (
 ),
 scored AS (
     SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-           round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS rel
+           floor(list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                 * 1000000 + 0.5) / 1000000 AS rel
     FROM base q JOIN base c ON q.vec_id != c.vec_id
     WHERE q.vec_id < {n_queries}
 ),

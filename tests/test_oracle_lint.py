@@ -17,18 +17,23 @@ from etl_for_ecol_fusion_database_spark import registry
 
 KNUTH = "2654435761"
 #: an operand is reduced iff the text right before "* 2654435761" ends in
-#: "% 2147483647)" (possibly with whitespace/newlines between tokens)
-_REDUCED_BEFORE = re.compile(r"%\s*2147483647\s*\)\s*\*\s*" + KNUTH)
+#: "% 2147483647)" (possibly with whitespace/newlines between tokens).
+#: ANCHORED at the end (\Z) so it must terminate at the multiply under
+#: test — a search anywhere in a fixed window could be satisfied by a
+#: DIFFERENT, earlier multiply in the same expression, masking an
+#: unreduced site (and a long whitespace run could push a valid reduction
+#: out of a too-small window, false-flagging it).
+_REDUCED_BEFORE = re.compile(r"%\s*2147483647\s*\)\s*\*\s*" + KNUTH + r"\Z")
 
 
 def test_every_oracle_knuth_multiply_is_reduced_first():
     offenders: list[str] = []
     for name, sql in registry.ORACLES.items():
         for m in re.finditer(r"\*\s*" + KNUTH, sql):
-            # the reduced pattern must cover this exact multiply site
-            window = sql[max(0, m.start() - 40) : m.end()]
-            if not _REDUCED_BEFORE.search(window):
-                offenders.append(f"{name}: ...{window!r}")
+            # the reduced pattern must END at this exact multiply site
+            prefix = sql[max(0, m.end() - 200) : m.end()]
+            if not _REDUCED_BEFORE.search(prefix):
+                offenders.append(f"{name}: ...{prefix[-60:]!r}")
     assert not offenders, (
         "oracle SQL multiplies an un-reduced id by the Knuth constant "
         "(int64 overflow for ids >= 2^31, diverging from Spark's pmod-"

@@ -653,7 +653,9 @@ def test_mmr_rerank_matches_greedy_replay(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     lam = 0.7
-    cands = similarity.brute_force_topk(emb, k=20, n_queries=10).collect()
+    # snap6=True mirrors mmr_rerank's candidate generation (floor-snap
+    # relevance, the engine-portable form its oracle replays)
+    cands = similarity.brute_force_topk(emb, k=20, n_queries=10, snap6=True).collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
     from collections import defaultdict
 

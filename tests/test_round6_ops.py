@@ -144,3 +144,26 @@ def test_embedding_head_memo_matches_direct_collect_and_caches(spark):
     assert got == [(int(r.vec_id), [float(x) for x in r.v]) for r in direct]
     assert [i for i, _ in got] == sorted(i for i, _ in got)
     assert _embedding_head(spark, SF_CORRECT, 10) is got
+
+
+def test_jl_fast_path_signed_zero_normalized(spark):
+    """An all-zero vector produces -0.0 terms wherever the plane component
+    is negative; the SUM seeds its accumulator from the first term while
+    the sequential fold seeds +0.0.  The fast path must normalize so both
+    paths (and the driver canon, which prints -0.0 as "-0") agree."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id: long, embedding: array<double>"
+    )
+    fast = similarity.random_projection_fast(
+        df, "vec_id", "embedding", in_dim=64, out_dim=16, seed=42
+    ).collect()
+    slow = (
+        similarity.random_projection(df, "vec_id", "embedding", out_dim=16, seed=42)
+        .select("vec_id", F.posexplode("proj").alias("dim_idx", "y"))
+        .collect()
+    )
+    assert len(fast) == 16 and len(slow) == 16
+    for r in fast + slow:
+        assert r.y == 0.0 and not math.copysign(1.0, r.y) < 0, r
