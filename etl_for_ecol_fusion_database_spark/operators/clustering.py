@@ -86,24 +86,21 @@ def kmeans_fit(
     across partitionings and engines); snapping collapses the ~1-ulp
     ambiguity to a canonical value, making the WHOLE fixed-iteration loop
     replayable bit-for-bit by an ANSI-SQL oracle and stable across
-    cluster layouts.  The snap is ``floor(x * 10^dp + 0.5) / 10^dp`` —
-    pure IEEE multiply/add/floor, identical in every engine — NOT
-    ``round(x, dp)``: Spark's Round on DOUBLE goes through
-    ``BigDecimal.valueOf`` (the SHORTEST decimal repr) with HALF_UP while
-    DuckDB rounds the scaled binary value, so a mean whose shortest repr
-    ends in a 5 at digit dp+1 with the binary double just below the tie
-    rounds differently in the two engines — and in an iterative loop one
-    divergent component re-assigns vectors and cascades.  None keeps raw
-    means.
+    cluster layouts.  The snap is ``similarity.snap_expr`` (engine-
+    portable ``floor(x * 10^dp + 0.5) / 10^dp``) rather than
+    ``round(x, dp)`` — see its docstring: engine round semantics diverge
+    at shortest-repr half-ties, and in an iterative loop one divergent
+    component re-assigns vectors and cascades.  None keeps raw means.
     """
+    from .similarity import snap_expr
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     seed_rows = base.orderBy("id").limit(k).collect()
     centroids = [[float(x) for x in r.v] for r in seed_rows]
     if round_dp is None:
         mean_expr = F.avg("x")
     else:
-        scale = float(10**round_dp)
-        mean_expr = F.floor(F.avg("x") * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        mean_expr = snap_expr(F.avg("x"), round_dp)
     for _ in range(n_iter):
         assigned = assign_clusters(base, "v", centroids)
         means = (

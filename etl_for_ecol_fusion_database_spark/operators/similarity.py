@@ -36,6 +36,30 @@ def dot_expr(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def snap_expr(c: Column, dp: int = 6) -> Column:
+    """Engine-portable decimal snap: ``floor(x * 10^dp + 0.5) / 10^dp`` —
+    pure IEEE multiply/add/floor/divide, bit-identical in every engine
+    where engine ``round`` on doubles diverges at shortest-repr half-ties
+    (Spark's Round goes through ``BigDecimal.valueOf`` — the SHORTEST
+    decimal repr — with HALF_UP; DuckDB rounds the scaled binary value;
+    np.round and Python round are half-even).  Use it wherever a snapped
+    double FEEDS further exact comparisons an ANSI-SQL oracle replays
+    (k-means centroid updates, MMR's greedy argmax): there one divergent
+    tie cascades, while plain output-column rounding only risks a single
+    printed digit.
+
+    NaN / NULL / ±inf pass through untouched: Spark's ``floor`` on DOUBLE
+    returns LONG, which would silently collapse NaN to 0 and saturate
+    infinities, whereas DuckDB's ``floor`` preserves them — the oracle
+    side (plain ``floor(x*1e6 + 0.5)/1e6`` SQL) is transparent natively,
+    so the Spark side must be too."""
+    scale = float(10**dp)
+    snapped = F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return F.when(
+        F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c
+    ).otherwise(snapped)
+
+
 def norm_sq_expr(v: str | Column) -> Column:
     """Sum of squares (double fold)."""
     cv = F.col(v) if isinstance(v, str) else v
@@ -70,14 +94,13 @@ def brute_force_topk(
     until the per-query top-k, which ranks on (rounded cosine DESC, id ASC)
     for determinism.
 
-    ``snap6=True`` replaces ``round(cosine, 6)`` with the explicit
-    ``floor(x*1e6 + 0.5)/1e6`` snap — pure IEEE ops, bit-identical in
-    every engine, where engine ``round`` semantics can differ at
-    shortest-repr half-ties (Spark BigDecimal HALF_UP vs DuckDB binary).
-    Use it when the cosine FEEDS further exact comparisons (mmr_rerank's
-    greedy argmax replays the value downstream, so one divergent tie
-    would cascade through the whole selection trace); the default keeps
-    the established round(…, 6) output the cosine-top-k oracles pin.
+    ``snap6=True`` replaces ``round(cosine, 6)`` with :func:`snap_expr`
+    (the engine-portable floor snap — see its docstring for the engine
+    round-semantics rationale).  Use it when the cosine FEEDS further
+    exact comparisons (mmr_rerank's greedy argmax replays the value
+    downstream, so one divergent tie would cascade through the whole
+    selection trace); the default keeps the established round(…, 6)
+    output the cosine-top-k oracles pin.
     """
     corpus = with_norm(
         df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
@@ -88,10 +111,7 @@ def brute_force_topk(
         "qv",
     ).withColumnRenamed("norm", "qnorm")
     raw = dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))
-    if snap6:
-        sim = F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    else:
-        sim = F.round(raw, 6)
+    sim = snap_expr(raw, 6) if snap6 else F.round(raw, 6)
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("q_id") != F.col("cand_id"))
@@ -599,12 +619,12 @@ def random_projection_fast(
         .select(
             F.col("id").alias(id_col),
             F.col("j").cast("int").alias("dim_idx"),
-            # + 0.0 normalizes IEEE signed zero: SUM seeds its accumulator
-            # with the first term (an all-zero vector with a negative first
-            # plane component yields -0.0) while the sequential fold seeds
-            # with +0.0 — identical everywhere else, and the driver's canon
-            # prints -0.0 as "-0", so the parity guarantee needs the nudge
-            (F.col("y") + F.lit(0.0)).alias("y"),
+            # Signed-zero parity with the fold holds without adjustment:
+            # Spark's SUM seeds its accumulator with +0.0 (coalesce(sum,
+            # 0.0) + value), exactly like the fold's +0.0 init, so even an
+            # all-negative-zero term list yields +0.0 from both paths
+            # (pinned by the zero-vector test in tests/test_round6_ops.py)
+            "y",
         )
     )
 

@@ -146,11 +146,14 @@ def test_embedding_head_memo_matches_direct_collect_and_caches(spark):
     assert _embedding_head(spark, SF_CORRECT, 10) is got
 
 
-def test_jl_fast_path_signed_zero_normalized(spark):
+def test_jl_fast_path_signed_zero_parity(spark):
     """An all-zero vector produces -0.0 terms wherever the plane component
-    is negative; the SUM seeds its accumulator from the first term while
-    the sequential fold seeds +0.0.  The fast path must normalize so both
-    paths (and the driver canon, which prints -0.0 as "-0") agree."""
+    is negative.  Both paths still emit +0.0: the sequential fold seeds
+    its accumulator with +0.0, and Spark's SUM does too (coalesce(sum,
+    0.0) + value).  This pins that engine behavior — if SUM ever seeded
+    from the first term instead, the fast path would emit -0.0 (which the
+    driver canon prints as \"-0\") and the shared-oracle bit-parity
+    guarantee would silently break on degenerate vectors."""
     import math
 
     df = spark.createDataFrame(
@@ -167,3 +170,24 @@ def test_jl_fast_path_signed_zero_normalized(spark):
     assert len(fast) == 16 and len(slow) == 16
     for r in fast + slow:
         assert r.y == 0.0 and not math.copysign(1.0, r.y) < 0, r
+
+
+def test_snap_expr_portable_and_nan_inf_transparent(spark):
+    """snap_expr must floor-snap finite doubles and pass NaN/NULL/inf
+    through untouched — Spark's floor on DOUBLE returns LONG (NaN would
+    silently collapse to 0, infinities saturate), while the oracle-side
+    SQL floor is transparent natively, so the Spark side must guard."""
+    import math
+
+    rows = spark.createDataFrame(
+        [(0.12345649,), (0.12345651,), (-0.12345651,), (-0.1234565,),
+         (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "x: double",
+    ).select(similarity.snap_expr(F.col("x"), 6).alias("y")).collect()
+    ys = [r.y for r in rows]
+    assert ys[0] == 0.123456 and ys[1] == 0.123457
+    assert ys[2] == -0.123457
+    assert ys[3] == -0.123456  # exact half-tie rounds toward +inf
+    assert math.isnan(ys[4])
+    assert ys[5] == float("inf") and ys[6] == float("-inf")
+    assert ys[7] is None
