@@ -74,8 +74,22 @@ def _rank_bits(col_rank: F.Column, n_bits: int) -> list[F.Column]:
 
 def zorder_key_expr(rank_cols: list[str], n_bits: int = 16) -> F.Column:
     """Interleave the low ``n_bits`` of each rank column into one Morton
-    key (bit i of column j lands at position ``i * n_cols + j``)."""
+    key (bit i of column j lands at position ``i * n_cols + j``).
+
+    ``n_cols * n_bits`` must stay <= 63: bit 63 is the long's sign bit
+    (``shiftleft(1L, 63)`` = Long.MIN_VALUE, so rows with it set would
+    sort FIRST instead of last) and Java shifts wrap mod 64
+    (``shiftleft(1L, 65)`` = 2, scattering high-order bits into low
+    positions) — either silently corrupts the clustering.  zorder_by
+    narrows ``n_bits`` automatically; direct callers get a hard error."""
     n = len(rank_cols)
+    if n * n_bits > 63:
+        raise ValueError(
+            f"{n} columns x {n_bits} bits = {n * n_bits} interleaved bits "
+            "> 63: the Morton key must fit a non-negative long (bit 63 is "
+            "the sign bit and Java shifts wrap mod 64); lower n_bits to "
+            f"<= {63 // n}"
+        )
     key = F.lit(0).cast("long")
     for j, c in enumerate(rank_cols):
         for i, bit in enumerate(_rank_bits(F.col(c), n_bits)):
@@ -105,7 +119,17 @@ def zorder_by(
     Min/max bucketization assumes roughly-spread numeric columns; for
     heavily skewed ones, pre-transform (log, rank-sample) before
     z-ordering — the interleave itself is distribution-agnostic.
+
+    ``n_bits`` is narrowed to ``63 // len(cols)`` when the requested
+    width would not fit the interleaved key in a non-negative long (see
+    zorder_key_expr) — 16 bits serve up to 3 columns; 4 columns get 15,
+    6 get 10, and so on.  Rows whose value is NULL in a z-column (and
+    every row of a constant column, where width_bucket's min==max degrees
+    to NULL) take rank ``buckets - 1`` via least()'s null-skipping —
+    deterministic, key never NULL, and a constant column contributes a
+    constant (harmless) bit pattern.
     """
+    n_bits = min(n_bits, 63 // max(1, len(cols)))
     buckets = 1 << n_bits
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],

@@ -63,13 +63,27 @@ class JdbcSource:
     ) -> DataFrame:
         """S1/S3 full table scan — sharded on the PK when bounds are given
         (each executor reads one slice; nothing funnels through the driver,
-        unlike ingest_ecollision_oracle_data.py:96-97)."""
+        unlike ingest_ecollision_oracle_data.py:96-97).
+
+        ``partition_column`` requires BOTH bounds: Spark clamps the
+        partition count to ``upper - lower``, so a fabricated 0..1 default
+        would silently collapse the read to one JDBC connection — the
+        exact single-cursor bottleneck the sharded read exists to avoid.
+        Derive the bounds with a cheap ``SELECT MIN(pk), MAX(pk)`` via
+        read_query when the caller does not know them."""
         r = self.reader(spark).option("dbtable", table)
         if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "read_table(partition_column=...) needs explicit "
+                    "lower_bound and upper_bound — defaulting would clamp "
+                    "numPartitions to (upper - lower) and funnel the whole "
+                    "table through one JDBC connection"
+                )
             r = (
                 r.option("partitionColumn", partition_column)
-                .option("lowerBound", str(lower_bound or 0))
-                .option("upperBound", str(upper_bound or 1))
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
                 .option("numPartitions", str(num_partitions))
             )
         return r.load()

@@ -65,13 +65,23 @@ class ParquetSink:
     def create_if_not_exists(self, spark: SparkSession, df: DataFrame, table: str) -> bool:
         """S9 idempotent create (the reference's DO $$ IF NOT EXISTS guard):
         write only when the target does not already exist; returns whether a
-        write happened."""
+        write happened.
+
+        Only the path-not-found probe failure means "does not exist" — a
+        corrupt or half-written target (interrupted write leaving only
+        _temporary, unreadable footer) must surface its real error, not be
+        masked by a misleading errorifexists 'path already exists'."""
+        from pyspark.errors import AnalysisException
+
         try:
             spark.read.parquet(self.path(table)).schema
             return False
-        except Exception:
-            df.write.mode("errorifexists").parquet(self.path(table))
-            return True
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+        df.write.mode("errorifexists").parquet(self.path(table))
+        return True
 
 
 def overwrite_partitions(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 #: explicit schema for the file stream source (streams cannot infer); the
 #: fixture stores ``ts`` as parquet TIMESTAMP(MICROS) without timezone,
@@ -154,8 +155,19 @@ def _running_latest_fn(key, pdfs, state):
     else:
         latest_ts, latest_status, n_events = None, None, 0
     for pdf in pdfs:
+        # Arrow chunking can deliver empty frames (see RunningValueStats /
+        # tests' explicit empty-frame batch) — iloc[-1] on one would raise
+        if len(pdf) == 0:
+            continue
         n_events += len(pdf)
-        top = pdf.sort_values(["ts", "event_type"]).iloc[-1]
+        # rows with null ts/event_type are malformed for the latest fold:
+        # pandas sorts NaT LAST, so one would mask the chunk's real events
+        # (and a None event_type makes the tie tuple-compare raise); they
+        # still count toward n_events, like the batch twin's count(*)
+        valid = pdf.dropna(subset=["ts", "event_type"])
+        if len(valid) == 0:
+            continue
+        top = valid.sort_values(["ts", "event_type"]).iloc[-1]
         ts = top["ts"].to_pydatetime() if hasattr(top["ts"], "to_pydatetime") else top["ts"]
         if latest_ts is None or (ts, top["event_type"]) > (latest_ts, latest_status):
             latest_ts, latest_status = ts, top["event_type"]
@@ -247,8 +259,19 @@ def foreach_batch_dedup_sink(df: DataFrame, path: str, checkpoint: str, key_cols
     keyed MERGE instead of a parquet write."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # deterministic min-first survivorship: dropDuplicates keeps an
+        # ARBITRARY row per key (a failure-replay of the same batch id
+        # could then persist a different survivor than the original run,
+        # breaking the idempotence story) — rank by the non-key columns
+        # ascending instead and keep row 1
+        others = [c for c in batch_df.columns if c not in key_cols]
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.asc_nulls_first(c) for c in (others or key_cols)]
+        )
         (
-            batch_df.dropDuplicates(key_cols)
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .write.mode("overwrite")
             .parquet(f"{path}/batch_id={batch_id}")
         )
@@ -372,8 +395,15 @@ def make_running_value_stats_processor():
                 if len(pdf) == 0:
                     continue
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-                m = float(pdf["value"].max())
+                # fold over non-null values only: pandas' all-NaN max is
+                # NaN, and max(NaN, m) sticks at NaN forever (Python max
+                # returns its first arg on False comparisons) — while the
+                # batch F.sum/F.max ignore nulls; n stays count(*)
+                vals = pdf["value"].dropna()
+                if len(vals) == 0:
+                    continue
+                total += float(vals.sum())
+                m = float(vals.max())
                 mx = m if mx is None else max(mx, m)
             self._stats.update((n, total, mx))
             yield pd.DataFrame(
