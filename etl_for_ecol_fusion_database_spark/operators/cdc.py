@@ -30,6 +30,7 @@ def merge_apply(
     key: str,
     op_col: str = "op",
     delete_op: str = "D",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Apply a change set to ``base``.
 
@@ -38,7 +39,26 @@ def merge_apply(
     of ``base`` with no change survive unchanged; matched non-delete
     changes override column-wise; insert rows (no base match) pass
     through; matched deletes are dropped.
+
+    ``changes`` must hold AT MOST ONE row per key — the same precondition
+    SQL MERGE enforces (it errors on multiple matches; this join form
+    would instead silently emit one output row PER change row, and a
+    delete would not suppress sibling updates).  Real CDC feeds carry
+    several ops per key per batch: pass ``seq_col`` (the feed's LSN /
+    commit sequence) and the feed is first collapsed to each key's
+    highest-sequence op — last-op-wins, the standard CDC compaction — so
+    a trailing D deletes and a trailing U updates regardless of what
+    preceded it in the batch.
     """
+    if seq_col is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     b, c = base.alias("b"), changes.alias("c")
     joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
     keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != delete_op)

@@ -897,12 +897,11 @@ def semantic_dedup(
     )
     a = withn.alias("a")
     b = withn.alias("b")
+    # dot_expr casts each element to double BEFORE multiplying — a raw
+    # float32 x*y would round in single precision and diverge from a
+    # DOUBLE[]-based oracle replay near the dedup threshold
     cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
+        similarity.dot_expr(F.col("a.v"), F.col("b.v"))
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )

@@ -48,6 +48,14 @@ def connected_components(
 
     Deterministic: the fixpoint is unique (min over a fixed reachable
     set), independent of partitioning and iteration order.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds: min-label propagation needs ~diameter iterations,
+    so a chain longer than ``max_iter`` hops would otherwise return
+    silently WRONG labels (one logical component split into several
+    cluster_ids — duplicates leaking through dedup with no signal).
+    Raise ``max_iter`` for high-diameter graphs; near-dup graphs are
+    normally shallow (dense cliques around each duplicate group).
     """
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -79,6 +87,14 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (labels still propagating — the graph has a component "
+            "with diameter above max_iter); returning here would silently "
+            "split one component into several clusters. Raise max_iter."
+        )
     sym.unpersist()
     return labels.select(F.col("node"), F.col("cluster_id"))
 

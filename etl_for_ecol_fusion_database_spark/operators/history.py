@@ -37,13 +37,24 @@ def scd2_intervals(
 
     ``tiebreak`` orders simultaneous events deterministically (e.g. the
     event PK).
+
+    Change detection is null-safe (``NOT (attr <=> prev)``): plain ``!=``
+    evaluates to NULL against a NULL neighbor, which silently DROPS the
+    transition into a NULL attribute value and spuriously re-opens an
+    interval after one (the first-row case needs no separate isNull arm —
+    lag's NULL on the first row is just "different from anything",
+    which eqNullSafe handles unless the first attr is itself NULL,
+    covered by the explicit first-row test below).
     """
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     changes = df.select(
         key, ts_col, attr_col, *([tiebreak] if tiebreak else []),
         F.lag(attr_col).over(w).alias("_prev"),
-    ).filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+        F.row_number().over(w).alias("_rn"),
+    ).filter(
+        (F.col("_rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
+    )
     # lead() over the same (key, ts) partitioning — the change rows are
     # already sorted within each key partition, so no second shuffle
     w2 = Window.partitionBy(key).orderBy(*order)

@@ -130,11 +130,20 @@ def brute_force_topk(
 
 
 def _plane_component(bit: int, dim_idx: Column, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    """Deterministic pseudo-random hyperplane component in [-1, ~1]: derived
     from xxhash64(bit, dim, seed) — the plane matrix is never materialized
-    or shipped; every executor recomputes components on the fly."""
+    or shipped; every executor recomputes components on the fly.
+
+    ``pmod``, not ``%``: xxhash64 is SIGNED, and Spark's ``%`` keeps the
+    sign, so the raw remainder spans (-2000002, 2000002) and the mapped
+    component would span (-3, 1) with mean ≈ -1 — every plane biased the
+    same way, so for non-negative corpora (ReLU features, counts, TF-IDF)
+    v·p ≈ -sum(v) < 0 for EVERY bit and the whole corpus collapses into
+    one bucket: the O(n²) self-join the signatures exist to prevent.
+    pmod maps to [0, 2000002] → components uniform in [-1, ~1], planes
+    unbiased and mutually independent."""
     h = F.xxhash64(F.lit(bit), dim_idx, F.lit(seed))
-    return (h % 2000003).cast("double") / F.lit(1000001.5) - F.lit(1.0)
+    return F.pmod(h, F.lit(2000003)).cast("double") / F.lit(1000001.5) - F.lit(1.0)
 
 
 def hyperplane_signatures_df(
@@ -186,12 +195,21 @@ def portable_hyperplane_signatures_df(
     seed: int = 42,
 ) -> DataFrame:
     """``hyperplane_signatures_df`` with integer-valued plane components
-    p(bit, i) = ((bit*37 + i*101 + 13 + seed) % 7) - 3 and SEQUENTIAL
-    double folds for the projections — both choices trade throughput for
-    bit-identical cross-engine arithmetic (same trick as the oracle-
-    checked k-means assignment), so a DuckDB oracle can replay bucket
-    assignment exactly.  The xxhash64/posexplode fast path above stays
-    the production configuration (codegen aggregation, richer planes)."""
+    p(bit, i) = (((bit*2654435761 + i*40503 + 13 + seed) % 1000003) % 7) - 3
+    and SEQUENTIAL double folds for the projections — both choices trade
+    throughput for bit-identical cross-engine arithmetic (same trick as
+    the oracle-checked k-means assignment), so a DuckDB oracle can replay
+    bucket assignment exactly.  The xxhash64/posexplode fast path above
+    stays the production configuration (codegen aggregation, richer
+    planes).
+
+    The Knuth-multiplier family (same as the JL projection planes) is
+    deliberate: the earlier ``(bit*37 + i*101 + c) % 7`` form had PERIOD 7
+    in ``bit`` (37 ≡ 2 mod 7), so only 7 distinct planes existed and any
+    ``n_bits > 7`` silently duplicated signature bits — effective buckets
+    capped at 2^7 while derive_n_bits budgeted for 2^bits, re-opening the
+    quadratic pair volume at corpus scale (24 distinct balanced planes
+    verified for bits 0..23 with this family)."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -199,8 +217,8 @@ def portable_hyperplane_signatures_df(
     for b in range(n_bits):
         arr = F.expr(
             f"transform(sequence(0, size(_v) - 1),"
-            f" i -> _v[i] * CAST((({b} * 37 + i * 101 + 13 + {seed}) % 7) - 3"
-            f" AS DOUBLE))"
+            f" i -> _v[i] * CAST(((({b} % 2147483647) * 2654435761 + i * 40503"
+            f" + 13 + {seed}) % 1000003) % 7 - 3 AS DOUBLE))"
         )
         dot = F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
         sig = sig.bitwiseOR(
@@ -229,7 +247,8 @@ def lsh_bucketed_ann(
     per-query work is a controlled fraction of the corpus instead of all of
     it.  On near-uniform random vectors recall is inherently modest (the
     neighbor/non-neighbor cosine gap is small); multiprobe radius trades
-    candidates for recall."""
+    candidates for recall (probe generation currently supports radius
+    0/1/2 — values above 2 probe at radius 2)."""
     sigs = signature_fn(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         n_bits=n_bits,

@@ -24,12 +24,22 @@ _COMBINE = {
 }
 
 
-def _row_salt(n_salt: int) -> Column:
-    """Per-row deterministic salt in [0, n_salt): hash of the row's position
-    within its split.  Spreads a hot key even when it is clustered into a
-    single input partition (where a partition-id salt would collapse to one
-    value)."""
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int")
+def _row_salt(n_salt: int, cols: list[str]) -> Column:
+    """Per-row deterministic salt in [0, n_salt): content hash of the whole
+    row.  Spreads a hot key even when it is clustered into a single input
+    partition (where a partition-id salt would collapse to one value).
+
+    Content-derived on purpose: a position-based salt
+    (monotonically_increasing_id) changes across task retries, and a
+    nondeterministic expression evaluated before a shuffle is the classic
+    SPARK-23207 correctness hazard — a lost executor recomputes its input
+    split with DIFFERENT salts than the first attempt, and the shuffle
+    then mixes partial aggregates from both assignments.  The row hash is
+    a pure function of the data, identical on every attempt.  Trade-off:
+    FULL-ROW duplicates share a salt, so a hot key whose rows are exact
+    copies still lands on one reducer — dedup first, or add a disambiguating
+    column, if that is your skew shape."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
 
 
 def salted_groupby(
@@ -54,7 +64,7 @@ def salted_groupby(
     for name, (kind, _col) in aggs.items():
         if kind not in ("sum", "count", "min", "max"):
             raise ValueError(f"{name}: non-algebraic aggregate {kind!r} cannot be salted")
-    salted = df.withColumn("_salt", _row_salt(n_salt))
+    salted = df.withColumn("_salt", _row_salt(n_salt, df.columns))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[
             (F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(col)).alias(
@@ -87,8 +97,20 @@ def salted_join(
     Cost: ``small`` is materialized n_salt times (only viable when it is
     genuinely small — the same regime where broadcast would apply; use this
     form when the small side exceeds the broadcast threshold but a 1-to-n
-    replication still fits)."""
-    salted_left = skewed.withColumn("_salt", _row_salt(n_salt))
+    replication still fits).
+
+    Only left-preserving joins are accepted: a right/full outer join over
+    the replicated small side would emit each unmatched small-side row
+    ``n_salt`` times plus spurious null-rows for the salts a matched left
+    row did not carry — silently duplicated output."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/semi/anti are "
+            "correct — the replicated small side duplicates unmatched rows "
+            "under right/full outer joins"
+        )
+    salted_left = skewed.withColumn("_salt", _row_salt(n_salt, skewed.columns))
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )

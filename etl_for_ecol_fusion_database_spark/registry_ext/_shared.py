@@ -94,12 +94,16 @@ _LANG_CASE = (
 _SCD2_FULL_RECOMPUTE_ORACLE = """
 WITH ordered AS (
     SELECT user_id, ts, event_id, event_type,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rn
     FROM events
 ),
 changes AS (
+    -- null-safe change detection mirroring scd2_intervals: IS DISTINCT
+    -- FROM keeps transitions into/out of NULL attr values and the _rn = 1
+    -- arm keeps a NULL-attr first row (NULL IS DISTINCT FROM NULL = false)
     SELECT user_id, ts, event_id, event_type
-    FROM ordered WHERE _prev IS NULL OR event_type <> _prev
+    FROM ordered WHERE _rn = 1 OR event_type IS DISTINCT FROM _prev
 )
 SELECT user_id, event_type,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,

@@ -202,3 +202,63 @@ def test_create_if_not_exists_does_not_mask_corrupt_target(spark, sf_dir, tmp_pa
     with pytest.raises(Exception) as ei:
         sink.create_if_not_exists(spark, df, "nation_bad")
     assert "already exists" not in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# LSH plane families: distinct, unbiased
+# ---------------------------------------------------------------------------
+
+
+def test_portable_planes_distinct_up_to_24_bits(spark):
+    """The portable plane family must give DISTINCT planes for every bit
+    derive_n_bits can return (4..24) — the old (b*37 + i*101) % 7 form had
+    period 7 in b (37 = 2 mod 7), capping effective buckets at 2^7 while
+    the occupancy budget assumed 2^bits: quadratic pair volume at scale."""
+    def plane(b, seed=42):
+        return tuple(
+            (((b % 2147483647) * 2654435761 + i * 40503 + 13 + seed)
+             % 1000003) % 7 - 3
+            for i in range(64)
+        )
+
+    planes = [plane(b) for b in range(24)]
+    assert len(set(planes)) == 24
+
+
+def test_production_plane_components_unbiased(spark):
+    """_plane_component must be ~uniform in [-1, 1]: the signed-% form
+    spanned (-3, 1) with mean -1, so every hyperplane pointed the same
+    way and non-negative corpora collapsed into one bucket."""
+    from etl_for_ecol_fusion_database_spark.operators.similarity import (
+        _plane_component,
+    )
+
+    df = spark.range(2000).select(F.col("id").cast("int").alias("pos"))
+    stats = df.select(
+        *[_plane_component(b, F.col("pos"), seed=42).alias(f"c{b}") for b in range(4)]
+    ).agg(
+        *[F.avg(f"c{b}").alias(f"m{b}") for b in range(4)],
+        *[F.min(f"c{b}").alias(f"lo{b}") for b in range(4)],
+        *[F.max(f"c{b}").alias(f"hi{b}") for b in range(4)],
+    ).collect()[0]
+    for b in range(4):
+        assert -0.1 < stats[f"m{b}"] < 0.1, f"bit {b} biased: {stats[f'm{b}']}"
+        assert stats[f"lo{b}"] >= -1.0 and stats[f"hi{b}"] <= 1.0000006
+
+
+def test_nonnegative_corpus_spreads_over_buckets(spark):
+    """A strictly non-negative corpus (the ReLU/TF-IDF case) must spread
+    over many buckets — under the signed-% bias every v.p was negative and
+    the whole corpus landed in bucket 0."""
+    from etl_for_ecol_fusion_database_spark.operators import similarity
+
+    df = spark.range(256).select(
+        F.col("id"),
+        F.expr(
+            "transform(sequence(0, 15), i ->"
+            " CAST(pmod(hash(id, i), 100) AS DOUBLE) / 100.0)"
+        ).alias("v"),
+    )
+    sigs = similarity.hyperplane_signatures_df(df, "id", "v", n_bits=6, seed=42)
+    n_buckets = sigs.select("bucket").distinct().count()
+    assert n_buckets > 8, f"non-negative corpus collapsed to {n_buckets} buckets"

@@ -50,7 +50,7 @@ def test_salt_spreads_clustered_hot_key(spark):
     hot = spark.range(10_000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
     one_split = hot.coalesce(1)
     n_salts = (
-        one_split.withColumn("_salt", skew._row_salt(16))
+        one_split.withColumn("_salt", skew._row_salt(16, one_split.columns))
         .select("_salt")
         .distinct()
         .count()
