@@ -30,7 +30,13 @@ STATE_COLS = ("agg_n", "agg_sum", "agg_min", "agg_max")
 def partial_agg_state(
     df: DataFrame, keys: Sequence[str], value_col: str
 ) -> DataFrame:
-    """One batch's per-group algebraic state."""
+    """One batch's per-group algebraic state.
+
+    NULL semantics: ``agg_n`` is ``count(*)`` (rows, not non-null values),
+    so ``finalize_agg_state``'s average divides by ROW count — unlike SQL
+    ``AVG`` which excludes NULLs.  This keeps n mergeable as a plain sum
+    and matches the registered oracles; pre-filter NULL values upstream if
+    SQL AVG semantics are required."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("agg_n"),
         F.sum(F.col(value_col).cast("decimal(38,6)")).alias("agg_sum"),

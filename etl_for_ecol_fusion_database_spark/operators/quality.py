@@ -49,7 +49,16 @@ def referential_check(
     broadcast_parent: bool = True,
 ) -> DataFrame:
     """Orphan-row count: child rows whose key has no parent (left-anti
-    join).  Pass ``broadcast_parent=False`` when the parent is fact-sized —
+    join).
+
+    NULL semantics: a child row with a NULL key never equi-matches, so it
+    COUNTS as an orphan — stricter than SQL FK enforcement, which skips
+    NULL FKs.  That strictness is deliberate for a quality report (a NULL
+    key is usually a data defect worth surfacing); add an explicit
+    ``isNotNull`` check via ``column_expectations`` and pre-filter here if
+    you need the lenient SQL-FK reading.
+
+    Pass ``broadcast_parent=False`` when the parent is fact-sized —
     the default broadcast hint is only safe for dimension tables (a forced
     broadcast of a large parent would OOM executors); without the hint the
     anti-join falls back to a shuffled hash join on the key.  Output schema
@@ -69,7 +78,12 @@ def referential_check(
 
 def uniqueness_check(df: DataFrame, keys: list[str], *, name: str) -> DataFrame:
     """Rows participating in a duplicate key group (0 when ``keys`` is a
-    true primary key).  One groupBy shuffle on the key."""
+    true primary key).  One groupBy shuffle on the key.
+
+    NULL semantics: ``groupBy`` buckets NULL keys together, so two NULL-key
+    rows count as duplicates — stricter than SQL UNIQUE (which admits any
+    number of NULLs), matching the PK reading where NULL keys are already
+    violations."""
     n = df.count()
     dups = (
         df.groupBy(*keys)

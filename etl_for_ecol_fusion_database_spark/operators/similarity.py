@@ -247,8 +247,13 @@ def lsh_bucketed_ann(
     per-query work is a controlled fraction of the corpus instead of all of
     it.  On near-uniform random vectors recall is inherently modest (the
     neighbor/non-neighbor cosine gap is small); multiprobe radius trades
-    candidates for recall (probe generation currently supports radius
-    0/1/2 — values above 2 probe at radius 2)."""
+    candidates for recall.
+
+    Probe volume: radius ``r`` probes ``sum_{j<=r} C(n_bits, j)`` buckets
+    per query — the flip masks are enumerated driver-side (cheap: it's a
+    count over ``n_bits`` choose ``j``) and fan out via one ``explode``,
+    so raising the radius changes the candidate fraction, not the plan
+    shape.  At radius == n_bits every bucket is probed (exact scan)."""
     sigs = signature_fn(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         n_bits=n_bits,
@@ -276,14 +281,12 @@ def lsh_bucketed_ann(
             "q_id",
         )
     )
+    from itertools import combinations
+
     flips: list[int] = [0]
-    if multiprobe >= 1:
-        flips += [1 << b for b in range(n_bits)]
-    if multiprobe >= 2:
+    for r in range(1, min(multiprobe, n_bits) + 1):
         flips += [
-            (1 << b1) | (1 << b2)
-            for b1 in range(n_bits)
-            for b2 in range(b1 + 1, n_bits)
+            sum(1 << b for b in bits) for bits in combinations(range(n_bits), r)
         ]
     queries = queries.withColumn(
         "bucket",

@@ -262,3 +262,30 @@ def test_nonnegative_corpus_spreads_over_buckets(spark):
     sigs = similarity.hyperplane_signatures_df(df, "id", "v", n_bits=6, seed=42)
     n_buckets = sigs.select("bucket").distinct().count()
     assert n_buckets > 8, f"non-negative corpus collapsed to {n_buckets} buckets"
+
+
+def test_multiprobe_radius_generalizes_and_saturates(spark, sf_dir):
+    """Radius is a real recall dial now (was silently capped at 2): recall
+    must be monotone in the radius, and radius == n_bits probes EVERY
+    bucket, so the result must equal the brute-force top-k exactly."""
+    from etl_for_ecol_fusion_database_spark.catalog import load_table
+    from etl_for_ecol_fusion_database_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.q_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, k=5, n_queries=6).collect()
+    }
+
+    def recall(radius):
+        got = {
+            (r.q_id, r.cand_id)
+            for r in similarity.lsh_bucketed_ann(
+                emb, k=5, n_queries=6, n_bits=6, multiprobe=radius
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r2, r3, r6 = recall(2), recall(3), recall(6)
+    assert r3 >= r2, f"radius-3 recall {r3} < radius-2 {r2}"
+    assert r6 == 1.0, f"radius == n_bits must be exhaustive, recall {r6}"
