@@ -289,3 +289,87 @@ def test_multiprobe_radius_generalizes_and_saturates(spark, sf_dir):
     r2, r3, r6 = recall(2), recall(3), recall(6)
     assert r3 >= r2, f"radius-3 recall {r3} < radius-2 {r2}"
     assert r6 == 1.0, f"radius == n_bits must be exhaustive, recall {r6}"
+
+
+# ---------------------------------------------------------------------------
+# operator-review hardening: direct regressions for the new guards
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_merge_apply_seq_col_last_op_wins(spark):
+    """A CDC feed with several ops per key must compact to the
+    highest-sequence op: trailing D deletes even after updates, trailing U
+    updates even after a delete.  Without seq_col the duplicate-key feed
+    would silently emit one output row PER change row."""
+    from etl_for_ecol_fusion_database_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", "a2", 10),
+            (1, "D", None, 20),   # trailing delete wins for id=1
+            (2, "D", None, 10),
+            (2, "U", "b2", 20),   # trailing update wins for id=2
+            (4, "I", "d", 10),
+            (4, "U", "d2", 20),   # trailing insert-update wins for id=4
+        ],
+        "id long, op string, val string, lsn long",
+    )
+    got = {
+        (r.id, r.val)
+        for r in cdc.merge_apply(base, changes, key="id", seq_col="lsn").collect()
+    }
+    assert got == {(2, "b2"), (3, "c"), (4, "d2")}
+
+
+def test_scd2_null_safe_change_detection(spark):
+    """Transitions INTO and OUT OF a NULL attribute must open/close
+    intervals: plain != evaluates NULL against a NULL neighbor and the
+    filter silently drops the change row."""
+    import datetime
+
+    from etl_for_ecol_fusion_database_spark.operators import history
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "A"),
+        (1, t0 + datetime.timedelta(hours=1), 2, None),   # A -> NULL
+        (1, t0 + datetime.timedelta(hours=2), 3, None),   # no change
+        (1, t0 + datetime.timedelta(hours=3), 4, "B"),    # NULL -> B
+        (2, t0, 5, None),                                  # first row NULL attr
+        (2, t0 + datetime.timedelta(hours=1), 6, None),    # no change
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = history.scd2_intervals(
+        df, key="user_id", ts_col="ts", attr_col="event_type", tiebreak="event_id"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.event_type)
+    assert by_user[1] == ["A", None, "B"], by_user
+    assert by_user[2] == [None], by_user
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain whose diameter exceeds max_iter must raise, not silently
+    return a split component."""
+    from etl_for_ecol_fusion_database_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    nodes = spark.range(13)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(pairs, nodes, id_a="id_a", id_b="id_b", max_iter=2)
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    from etl_for_ecol_fusion_database_spark.operators import skew
+
+    left = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    small = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(left, small, "k", how=how, n_salt=4)
