@@ -939,31 +939,57 @@ def cdc_chunk_rows(
     chunk-level dedup find large common spans between near-identical
     documents (the storage-dedup trick, applied to corpus curation).
 
-    Shape (the codegen ROW form, same argument as ``shingle_rows``):
-    boundary detection explodes positions to rows so the per-position
-    rolling hash runs inside whole-stage codegen — an array-HOF filter
-    evaluates the md5 interpreted, one expression-interpreter round trip
-    per character position, measured ~2.5x slower at corpus scale.  Only
-    boundary rows (~1/modulus of positions) survive to the per-doc
-    ``lead`` window that turns cut positions into (start, end) spans, so
-    the one exchange in the plan shuffles cut rows, not character rows.
-    The md5-prefix hash family keeps every boundary ANSI-SQL-replayable.
+    Boundary hash: a gear/Rabin-style POLYNOMIAL over code points —
+    ``h(p) = (Σ_j code(c_{p+j}) · 31^j) mod 2147483647`` — pure int64
+    arithmetic, exactly replayable in ANSI SQL (Spark ``ascii`` and DuckDB
+    ``unicode`` both return the full code point, verified over BMP and
+    astral chars).  Real CDC uses a cheap per-position hash by design;
+    hashing every position with the md5-prefix family was measured 2-2.4x
+    slower (the digest dominates, whether codegen or HOF-interpreted).
+    Max magnitude: 0x10FFFF · 31^7 · 8 ≈ 2.4e17, well inside int64.
+
+    Shape: boundary detection builds the per-doc POSITION-HASH ARRAY in
+    one expression — map chars to code points once (O(len)), fold each
+    window with literal 31^j weights (O(window) int ops per position, all
+    random-access array indexing) — then ``posexplode`` emits slim
+    (position, hash) LONG rows for the boundary filter.  Two measured
+    traps, ~500-char docs, sf0.1: per-position ``substring(_n, p, 8)``
+    grams re-scan the string prefix per code-point index (quadratic in
+    doc length — 2x slower here and unboundedly worse on long docs), and
+    exploding positions BEFORE hashing makes the Generate node copy its
+    required child columns (text or char array) into every generated row
+    (O(len²) memory traffic, 4-5x slower).  Only boundary rows
+    (~1/modulus of positions) survive to the per-doc ``lead`` window that
+    turns cut positions into (start, end) spans, so the one exchange in
+    the plan shuffles cut rows, not character rows.
     """
     from .text import normalize_text
 
     normed = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
-    last_start = F.greatest(F.length("_n") - (window - 1), F.lit(1))
-    # candidate cut positions 2..len-window+1 as ROWS (codegen hash), plus
-    # a sentinel start-of-document row at position 1
-    cand = normed.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(2), F.greatest(last_start, F.lit(2)))
-        ).alias("p"),
-        last_start.alias("_ls"),
-        F.substring(F.col("_n"), F.col("p"), window).alias("_w"),
-    ).filter(
-        (F.col("p") <= F.col("_ls")) & (portable_hash_expr("_w") % modulus == 0)
+    # hash array: position-hash i (0-based) covers chars i..i+window-1,
+    # i.e. 1-based cut position p = i + 1; candidate cuts are
+    # 2..len-window+1, so i >= 1.  Docs shorter than the window yield a
+    # single i=0 entry — filtered out, same as the former
+    # sequence(2, greatest(last_start, 2)) guard.
+    poly = " + ".join(f"_codes[i + {j}] * {31 ** j}L" for j in range(window))
+    cand = (
+        normed.select(
+            "id",
+            F.expr(
+                "transform(split(_n, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+            ).alias("_codes"),
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(_codes) - {window}, 0)),"
+                    f" i -> ({poly}) % 2147483647)"
+                )
+            ).alias("i", "h"),
+        )
+        .filter((F.col("i") >= 1) & (F.col("h") % modulus == 0))
+        .select("id", (F.col("i") + 1).alias("p"))
     )
     # spans are derived from SLIM (id, p) rows — the window must not carry
     # the document text, or shuffle bytes go quadratic in doc length
@@ -977,7 +1003,11 @@ def cdc_chunk_rows(
         F.col("p").alias("start"),
         (F.lead("p", 1).over(w) - 1).alias("_next"),
     )
-    # one text shuffle total: each doc joins its span list once
+    # one text shuffle total: each doc joins its span list once.  The
+    # per-chunk substring's prefix scan makes extraction O(len²/modulus)
+    # per doc — amortized ~modulus x cheaper than per-position work and
+    # kept because the alternative (carrying a pre-split char array
+    # through the join) multiplies the text's shuffle bytes ~8x.
     chunked = spans.join(normed, "id").select(
         "id",
         "chunk_idx",

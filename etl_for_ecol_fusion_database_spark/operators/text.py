@@ -330,22 +330,38 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _char_grams_expr(arr_col: str, window: int) -> Column:
+    """All ``window``-grams of a char-array column as O(window) slices.
+
+    ``substring(s, i, w)`` re-scans the string prefix to find code point
+    ``i`` (UTF8String indexing is linear), so a transform over positions is
+    O(len²) per row; splitting to a char array once and slicing is O(len x
+    window).  Strings shorter than ``window`` yield one gram: the whole
+    string (``slice`` just stops at the end), matching the substring form.
+    """
+    return F.expr(
+        f"transform(sequence(0, greatest(size({arr_col}) - {window}, 0)), "
+        f"i -> array_join(slice({arr_col}, i + 1, {window}), ''))"
+    )
+
+
 def fingerprint_rolling(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint: min xxhash64 over all
     ``window``-grams of the NORMALIZED text (so both rolling_fp and exact_fp
     are invariant under whitespace-only edits).  xxhash64 is Spark-specific →
     rows-only correctness check (no DuckDB oracle).
 
-    Normalization is bound to a named intermediate column so the regexp
-    pipeline evaluates once per row, not once per gram."""
+    Normalization and the char split are bound to named intermediate
+    columns so each evaluates once per row; grams come from array slices,
+    not per-position substring (linear, not quadratic, in doc length —
+    see _char_grams_expr)."""
     normed = df.select("doc_id", normalize_text(text_col).alias("_norm"))
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(_norm) - {window - 1}, 1)), "
-        f"i -> substring(_norm, i, {window}))"
-    )
-    return normed.select(
+    chars = normed.select("doc_id", "_norm", F.split("_norm", "").alias("_c"))
+    return chars.select(
         "doc_id",
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("rolling_fp"),
+        F.array_min(
+            F.transform(_char_grams_expr("_c", window), lambda g: F.xxhash64(g))
+        ).alias("rolling_fp"),
         F.md5(F.col("_norm")).alias("exact_fp"),
     )
 
@@ -362,13 +378,12 @@ def fingerprint_rolling_portable(
     from .dedup import portable_hash_expr
 
     normed = df.select("doc_id", normalize_text(text_col).alias("_norm"))
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(_norm) - {window - 1}, 1)), "
-        f"i -> substring(_norm, i, {window}))"
-    )
-    return normed.select(
+    chars = normed.select("doc_id", "_norm", F.split("_norm", "").alias("_c"))
+    return chars.select(
         "doc_id",
-        F.array_min(F.transform(grams, portable_hash_expr)).alias("rolling_fp"),
+        F.array_min(
+            F.transform(_char_grams_expr("_c", window), portable_hash_expr)
+        ).alias("rolling_fp"),
         F.md5(F.col("_norm")).alias("exact_fp"),
     )
 
@@ -431,18 +446,33 @@ def chunk_documents(
     starts = F.expr(
         f"sequence(1, greatest(length({text_col}), 1), {stride})"
     )
-    chunk = F.expr(f"substring({text_col}, chunk_start, {chunk_size})")
     return (
         df.select("doc_id", text_col)
         .filter(F.col(text_col).isNotNull())
-        .select("doc_id", text_col, F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+        .select(
+            "doc_id",
+            F.split(text_col, "").alias("_c"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        # bind the chunk text ONCE per row (it feeds three outputs below —
+        # an inline substring would re-evaluate per use, each re-scanning
+        # the string prefix to find the code-point offset; the array slice
+        # is O(chunk_size) regardless of chunk_start)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.expr(
+                f"array_join(slice(_c, chunk_start, {chunk_size}), '')"
+            ).alias("_chunk"),
+        )
         .select(
             "doc_id",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
             F.col("chunk_start").cast("int").alias("chunk_start"),
-            F.length(chunk).cast("int").alias("chunk_len"),
-            F.size(F.split(F.trim(chunk), r"\s+")).cast("int").alias("n_tokens"),
-            F.md5(chunk).alias("chunk_md5"),
+            F.length("_chunk").cast("int").alias("chunk_len"),
+            F.size(F.split(F.trim("_chunk"), r"\s+")).cast("int").alias("n_tokens"),
+            F.md5("_chunk").alias("chunk_md5"),
         )
     )
 

@@ -416,12 +416,22 @@ def x3_ngram_lm_score(spark, sf_dir):
     t = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower("text").alias("s")
     )
-    tri = t.filter(F.length("s") >= 3).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
-        ).alias("g"),
+    # trigrams from a once-split char array (O(1) [] indexing) — the
+    # per-position substring form re-scans the string prefix per gram,
+    # going quadratic in doc length; values are identical.
+    tri = (
+        t.filter(F.length("s") >= 3)
+        .select("doc_id", "lang", F.split("s", "").alias("_c"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_c) - 3),"
+                    " i -> concat(_c[i], _c[i+1], _c[i+2]))"
+                )
+            ).alias("g"),
+        )
     )
     model = (
         tri.filter(F.col("lang") == "en")

@@ -1269,15 +1269,13 @@ def x3_char_entropy(spark, sf_dir):
     via a doc_id window, adding a sort pass the identity makes
     unnecessary).  The oracle mirrors the same expression, so the 6-dp
     rounding guard covers only summation-order noise."""
+    # split('') is one pass over the string; the per-position substring
+    # form re-scans the prefix for each code-point index (quadratic in doc
+    # length).  Identical output for the length>0 rows this query keeps.
     chars = (
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-            ).alias("ch"),
-        )
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
     )
     freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
     nd = F.col("n").cast("double")

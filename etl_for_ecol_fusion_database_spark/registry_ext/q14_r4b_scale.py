@@ -323,6 +323,15 @@ def x3_hashing_features(spark, sf_dir):
     )
 
 
+#: gear/Rabin-style boundary hash, mirrored from operators/dedup.
+#: cdc_chunk_rows: Σ_j codepoint(norm[p+j])·31^j over the 8-char window —
+#: DuckDB ``unicode`` == Spark ``ascii`` (full code point, BMP + astral).
+_CDC_POLY = " + ".join(
+    f"CAST(unicode(norm[CAST(p + {j} AS INT)]) AS BIGINT) * {31 ** j}"
+    for j in range(8)
+)
+
+
 @query(
     "x1_cdc_chunks",
     oracle=rf"""
@@ -333,7 +342,7 @@ WITH n AS (
 c AS (
     SELECT doc_id, norm,
            [p for p in generate_series(2, greatest(length(norm) - 7, 1))
-              if {_MD5POLY.format(x='substr(norm, CAST(p AS INT), 8)')} % 64 = 0] AS cuts
+              if ({_CDC_POLY}) % 2147483647 % 64 = 0] AS cuts
     FROM n
 ),
 ch AS (
@@ -807,9 +816,11 @@ def x3_bpe_pair_counts(spark, sf_dir):
     toks = _t(spark, sf_dir, "documents").select(
         F.explode(text.tokens(text.normalize_text("text"))).alias("w")
     ).filter(F.length("w") >= 2)
-    pairs = toks.select(
+    # adjacent pairs from a once-split char array — O(1) [] indexing per
+    # pair instead of substring's prefix re-scan; identical values.
+    pairs = toks.select(F.split("w", "").alias("_c")).select(
         F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            F.expr("transform(sequence(0, size(_c) - 2), i -> concat(_c[i], _c[i+1]))")
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))

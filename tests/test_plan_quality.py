@@ -456,10 +456,11 @@ def test_cdc_chunks_span_window_is_slim(spark, sf_dir):
     m = re.search(r"Exchange hashpartitioning\(id#\d+L", plan)
     assert m, plan
     assert "WindowGroupLimit" not in plan  # plain lead/row_number window
-    # boundary hash runs in whole-stage codegen (no interpreted array HOF
-    # on the hot path): the explode feeding the filter sits inside a
-    # codegen stage
-    assert "Generate explode" in plan
+    # boundary detection posexplodes the per-doc position-hash array into
+    # slim (i, h) long rows — the Generate must carry only the doc id, not
+    # the text or a char array (O(len²) per-row copies otherwise)
+    m = re.search(r"Generate posexplode\([^\n]*\), \[id#\d+L\]", plan)
+    assert m, plan
 
 
 def test_epoch_shuffle_no_global_data_window(spark, sf_dir):
