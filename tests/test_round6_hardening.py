@@ -373,3 +373,74 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("right", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             skew.salted_join(left, small, "k", how=how, n_salt=4)
+
+
+# ---------------------------------------------------------------------------
+# char-level linearization: slice grams == substring grams, ascii == unicode
+# ---------------------------------------------------------------------------
+
+
+def test_char_grams_expr_matches_substring_form(spark):
+    """_char_grams_expr (split-once + O(w) slices) must produce exactly the
+    grams of the quadratic substring form it replaced, including the
+    shorter-than-window and multi-byte cases."""
+    from etl_for_ecol_fusion_database_spark.operators.text import _char_grams_expr
+
+    rows = [("abcdefghij",), ("abc",), ("a",), ("héllo wörld",), ("日本語テスト文字列",)]
+    df = spark.createDataFrame(rows, ["s"]).select(
+        "s", F.split("s", "").alias("_c")
+    )
+    for window in (3, 8):
+        got = df.select("s", _char_grams_expr("_c", window).alias("g")).collect()
+        for r in got:
+            n = len(r.s)
+            want = (
+                [r.s[i : i + window] for i in range(max(n - window + 1, 1))]
+                if n > window
+                else [r.s]
+            )
+            assert r.g == want, (r.s, window, r.g, want)
+
+
+def test_spark_ascii_is_full_code_point_like_duckdb_unicode(spark):
+    """The CDC boundary polynomial relies on Spark ascii == DuckDB unicode
+    for EVERY character — BMP and astral — or boundaries diverge between
+    engine and oracle."""
+    import duckdb
+
+    chars = ["a", " ", "~", "é", "ß", "€", "日", "𝄞"]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([(c,) for c in chars], ["ch"])
+        .select(F.ascii("ch"))
+        .collect()
+    ]
+    want = [
+        duckdb.execute("SELECT unicode(?)", [c]).fetchone()[0] for c in chars
+    ]
+    assert got == want
+
+
+def test_cdc_boundary_rate_and_linearity(spark, sf_dir):
+    """The polynomial boundary hash must cut at ~1/modulus of positions
+    (a biased family collapses chunking into whole-doc chunks), and chunk
+    rows must tile each document exactly (no gaps/overlaps) — re-pinned
+    here for the gear-hash family specifically."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    rows = dedup.cdc_chunk_rows(docs, modulus=64).collect()
+    n_positions = (
+        docs.select(
+            F.sum(
+                F.greatest(
+                    F.length(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+                    - 7,
+                    F.lit(1),
+                )
+            )
+        ).collect()[0][0]
+    )
+    n_cuts = len(rows) - docs.count()  # first chunk per doc is the sentinel
+    rate = n_positions / max(n_cuts, 1)
+    assert 32 < rate < 128, f"boundary rate 1/{rate:.0f}, expected ~1/64"
