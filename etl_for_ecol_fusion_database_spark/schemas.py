@@ -102,7 +102,15 @@ def map_source_type(source_type: str, dialect: str = "oracle") -> T.DataType:
         p = min(int(prec), 38)
         sc = max(int(scale or 0), 0)
         if sc == 0 and base == "number":
-            return T.LongType() if p > 9 else T.IntegerType()
+            # integer-valued NUMBER: narrowest integral type that HOLDS the
+            # declared precision — NUMBER(<=9) fits int32, NUMBER(<=18)
+            # fits int64; wider (19-38 digits) must stay DECIMAL(p,0), a
+            # long would overflow (NUMBER(20) max is 10^20-1 > 2^63-1).
+            if p <= 9:
+                return T.IntegerType()
+            if p <= 18:
+                return T.LongType()
+            return T.DecimalType(p, 0)
         return T.DecimalType(p, min(sc, p))
     return dt
 

@@ -44,6 +44,10 @@ def test_type_mapping_oracle():
     assert schemas.map_source_type("NUMBER(10,2)") == T.DecimalType(10, 2)
     assert schemas.map_source_type("NUMBER(5)") == T.IntegerType()
     assert schemas.map_source_type("NUMBER(15)") == T.LongType()
+    # 19-38 digit integer NUMBER overflows int64 — must stay DECIMAL(p,0)
+    assert schemas.map_source_type("NUMBER(20)") == T.DecimalType(20, 0)
+    assert schemas.map_source_type("NUMBER(38)") == T.DecimalType(38, 0)
+    assert schemas.map_source_type("NUMBER(18)") == T.LongType()
     assert schemas.map_source_type("DATE") == T.TimestampNTZType()
     assert schemas.map_source_type("BLOB") == T.BinaryType()
     # unmapped defaults to TEXT/String (helper_db_operation.py:235)
