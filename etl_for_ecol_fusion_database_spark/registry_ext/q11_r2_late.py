@@ -114,7 +114,10 @@ def x3_grouped_median(spark, sf_dir):
     batches) that genuinely-custom per-group logic needs."""
     import pandas as pd
 
-    def _med(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # no type hints: string annotations (PEP 563) are unresolvable inside
+    # Spark's eval-type inference and only trigger its fallback warning —
+    # with none present, the (key, pdf) arity selects the grouped-map path
+    def _med(key, pdf):
         import numpy as np
 
         return pd.DataFrame(
