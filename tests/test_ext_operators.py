@@ -192,3 +192,18 @@ def test_dedup_survivors_policies(spark):
     }
     # longest wins; id=2 beats id=3 on the min-id tiebreak
     assert by_len == {"k1": (2, 3, 99), "k2": (4, 1, 5)}
+
+
+def test_dedup_survivors_string_ids(spark):
+    """Non-numeric ids take the two-level aggregate branch (arithmetic
+    negation would raise on strings) — same policy semantics: largest
+    prefer-value wins, lexicographic min id on ties."""
+    df = spark.createDataFrame(
+        [("doc-a", "k1", 10), ("doc-b", "k1", 99), ("doc-c", "k1", 99), ("doc-d", "k2", 5)],
+        ["id", "key", "size"],
+    )
+    by_len = {
+        r.key: (r.keep_id, r.n_copies, r.max_size)
+        for r in dedup.dedup_survivors(df, ["key"], "id", prefer_col="size").collect()
+    }
+    assert by_len == {"k1": ("doc-b", 3, 99), "k2": ("doc-d", 1, 5)}
