@@ -191,3 +191,34 @@ def test_snap_expr_portable_and_nan_inf_transparent(spark):
     assert math.isnan(ys[4])
     assert ys[5] == float("inf") and ys[6] == float("-inf")
     assert ys[7] is None
+
+
+def test_snap_expr_matches_duckdb_floor_on_random_doubles(spark):
+    """The portability claim is 'floor(x*1e6+0.5)/1e6 is bit-identical in
+    every engine' — pin it against DuckDB on seeded pseudo-random doubles
+    across magnitudes (1e-8 .. 1e12, both signs), not just hand-picked
+    half-ties.  Bit-exact comparison via struct.pack, no tolerance."""
+    import random
+    import struct
+
+    import duckdb
+
+    rng = random.Random(20260815)
+    xs = [
+        rng.uniform(-1.0, 1.0) * (10.0 ** rng.randint(-8, 12))
+        for _ in range(500)
+    ]
+    got = [
+        r.y
+        for r in spark.createDataFrame([(x,) for x in xs], "x: double")
+        .select(similarity.snap_expr(F.col("x"), 6).alias("y"))
+        .collect()
+    ]
+    # createDataFrame preserves row order for a local list; DuckDB replays
+    # the same values positionally
+    want = [
+        duckdb.execute("SELECT floor(? * 1e6 + 0.5) / 1e6", [x]).fetchone()[0]
+        for x in xs
+    ]
+    for x, g, w in zip(xs, got, want):
+        assert struct.pack("<d", g) == struct.pack("<d", w), (x, g, w)
