@@ -444,3 +444,41 @@ def test_cdc_boundary_rate_and_linearity(spark, sf_dir):
     n_cuts = len(rows) - docs.count()  # first chunk per doc is the sentinel
     rate = n_positions / max(n_cuts, 1)
     assert 32 < rate < 128, f"boundary rate 1/{rate:.0f}, expected ~1/64"
+
+
+def test_portable_hash_expr_matches_duckdb_hex_polynomial(spark):
+    """portable_hash_expr is the base of every SQL-replayable hash family
+    (MinHash, SimHash, count-min, Bloom, LSH portable twins); its oracle
+    twin is the DuckDB hex-digit polynomial over md5's first 12 chars.
+    Pin the two bit-for-bit on random strings — ASCII, multi-byte UTF-8
+    (md5 hashes the utf-8 BYTES in both engines), punctuation-heavy, and
+    the empty string — not just the fixture's mostly-ASCII corpus."""
+    import random
+
+    import duckdb
+
+    from etl_for_ecol_fusion_database_spark.operators.dedup import (
+        _P_PORT,
+        portable_hash_expr,
+    )
+
+    rng = random.Random(20260815)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,!?-_éßü€日本語𝄞"
+    strings = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        for _ in range(300)
+    ]
+    got = [
+        r.h
+        for r in spark.createDataFrame([(s,) for s in strings], "s: string")
+        .select(portable_hash_expr("s").alias("h"))
+        .collect()
+    ]
+    sql = (
+        "SELECT CAST(list_sum([(strpos('0123456789abcdef', md5(?)[i]) - 1)"
+        " * CAST(power(16, 12 - i) AS BIGINT)"
+        f" for i in generate_series(1, 12)]) % {_P_PORT} AS BIGINT)"
+    )
+    con = duckdb.connect()
+    want = [con.execute(sql, [s]).fetchone()[0] for s in strings]
+    assert got == want
