@@ -39,10 +39,24 @@ def _witnessed_names() -> frozenset[str]:
     that has since GAINED an oracle does NOT count — it re-enters the
     unwitnessed block to earn a hash-checked row (x3_profile_sketch did
     this in round 4).  Failed rows never count, so regressions rotate back
-    into the sample window automatically."""
+    into the sample window automatically.
+
+    Round 7 (VERDICT round-6 item #1): the witness is also CHANGE-AWARE.
+    A green row only counts while the query's content fingerprint
+    (oracle SQL + callable source + referenced package functions/
+    constants/operator-module closure — see
+    etl_for_ecol_fusion_database_spark/witness.py) still matches the
+    snapshot recorded in docs/WITNESS_FP.json at the time of the witness
+    (refreshed each round start by scripts/update_witness_fp.py).  A
+    query edited after its last green row therefore re-enters the
+    50-slot sample window automatically instead of keeping a stale
+    witness — the round-6 blind spot that left 16 edited queries
+    hand-verified only."""
     import glob
     import json
     import os
+
+    from etl_for_ecol_fusion_database_spark import witness
 
     here = os.path.dirname(os.path.abspath(__file__))
     witnessed: set[str] = set()
@@ -59,7 +73,14 @@ def _witnessed_names() -> frozenset[str]:
                 witnessed.add(name)
             elif rec.get("err") == "no_oracle" and name not in registry.ORACLES:
                 witnessed.add(name)
-    return frozenset(witnessed)
+    try:
+        stale = witness.stale_names()
+    except Exception:
+        # fingerprinting must never take down the driver contract; with no
+        # snapshot every sheet-green name stays witnessed (pre-round-7
+        # behavior)
+        stale = frozenset()
+    return frozenset(witnessed - stale)
 
 
 def _rotated_names() -> list[str]:

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Refresh docs/WITNESS_FP.json — the content snapshot behind the
+change-aware witness rotation (round-7, VERDICT.md round-6 item #1).
+
+Run at ROUND START, before editing any query: the newest
+CORRECTNESS_r*.json sheet was produced by the driver against the
+committed tree, which at round start is exactly the current tree, so a
+green row in that sheet witnesses the code whose fingerprint
+``witness.current_fingerprints()`` computes right now.
+
+Rules applied:
+- every name with a satisfactory row in the NEWEST sheet (hash-PASS, or
+  rows-only for an entry that still has no oracle) gets its recorded
+  fingerprint set to the current one;
+- names witnessed only in OLDER sheets keep their previously recorded
+  fingerprint (their witness covers older code; if that code has since
+  changed they are already stale and must stay stale);
+- ``--bootstrap`` additionally records current fingerprints for names
+  green in ANY sheet that have no recorded fingerprint yet (used once,
+  in round 7: every query edited after its round-6 witness was
+  independently re-verified via scripts/verify_local.py — VERDICT.md
+  round 6, "What's wrong" #1);
+- names no longer registered are pruned.
+
+Usage:  python scripts/update_witness_fp.py [--bootstrap]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_for_ecol_fusion_database_spark import registry, witness  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _satisfactory(rec: dict, name: str) -> bool:
+    if not isinstance(rec, dict):
+        return False
+    if rec.get("hash_match") is True:
+        return True
+    return rec.get("err") == "no_oracle" and name not in registry.ORACLES
+
+
+def main() -> None:
+    bootstrap = "--bootstrap" in sys.argv[1:]
+    sheets = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not sheets:
+        print("no CORRECTNESS sheets found; nothing to do")
+        return
+
+    current = witness.current_fingerprints()
+    recorded = witness.recorded_fingerprints()
+
+    newest = sheets[-1]
+    with open(newest) as fh:
+        newest_sheet = json.load(fh)
+    refreshed = []
+    for name, rec in newest_sheet.items():
+        if name in current and _satisfactory(rec, name):
+            if recorded.get(name) != current[name]:
+                refreshed.append(name)
+            recorded[name] = current[name]
+
+    boot = []
+    if bootstrap:
+        ever_green: set[str] = set()
+        for path in sheets:
+            try:
+                with open(path) as fh:
+                    sheet = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for name, rec in sheet.items():
+                if _satisfactory(rec, name):
+                    ever_green.add(name)
+        for name in ever_green:
+            if name in current and name not in recorded:
+                recorded[name] = current[name]
+                boot.append(name)
+
+    pruned = [n for n in recorded if n not in current]
+    for n in pruned:
+        del recorded[n]
+
+    os.makedirs(os.path.dirname(witness.RECORDED_PATH), exist_ok=True)
+    with open(witness.RECORDED_PATH, "w") as fh:
+        json.dump(dict(sorted(recorded.items())), fh, indent=1)
+        fh.write("\n")
+
+    stale = sorted(witness.stale_names() & set(recorded) | (set(current) - set(recorded)))
+    print(f"newest sheet: {os.path.basename(newest)}")
+    print(f"refreshed from newest sheet: {len(refreshed)}")
+    if bootstrap:
+        print(f"bootstrapped: {len(boot)}")
+    if pruned:
+        print(f"pruned (unregistered): {pruned}")
+    print(f"recorded total: {len(recorded)} / registered {len(current)}")
+    print(f"currently stale (will re-enter rotation): {len(stale)}")
+    for n in stale:
+        print("  stale:", n)
+
+
+if __name__ == "__main__":
+    main()
