@@ -427,23 +427,46 @@ def test_cdc_boundary_rate_and_linearity(spark, sf_dir):
     rows must tile each document exactly (no gaps/overlaps) — re-pinned
     here for the gear-hash family specifically."""
     from etl_for_ecol_fusion_database_spark.operators import dedup
+    from etl_for_ecol_fusion_database_spark.operators.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
     rows = dedup.cdc_chunk_rows(docs, modulus=64).collect()
+    # candidate-position count comes from the SAME normalization the
+    # operator applies (round-6 ADVICE: an inline trim/lower/regexp copy
+    # would silently drift if normalize_text ever changed)
     n_positions = (
         docs.select(
-            F.sum(
-                F.greatest(
-                    F.length(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
-                    - 7,
-                    F.lit(1),
-                )
-            )
+            F.sum(F.greatest(F.length(normalize_text("text")) - 7, F.lit(1)))
         ).collect()[0][0]
     )
     n_cuts = len(rows) - docs.count()  # first chunk per doc is the sentinel
     rate = n_positions / max(n_cuts, 1)
     assert 32 < rate < 128, f"boundary rate 1/{rate:.0f}, expected ~1/64"
+
+    # linearity/tiling (round-6 ADVICE: the docstring promised this but the
+    # body never checked it): per doc, chunks sorted by chunk_idx must
+    # start at 1, each next chunk must start exactly where the previous
+    # one ended, and the concatenation must reproduce the normalized text
+    # — no gaps, no overlaps, nothing dropped at either end.
+    normed = {
+        r.id: r.n
+        for r in docs.select(
+            F.col("doc_id").alias("id"), normalize_text("text").alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    assert set(by_doc) == set(normed), "every doc must emit at least one chunk"
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert chunks[0].start == 1
+        pos = 1
+        for c in chunks:
+            assert c.start == pos, (doc_id, c.chunk_idx, c.start, pos)
+            pos += len(c.chunk)
+        assert "".join(c.chunk for c in chunks) == normed[doc_id], doc_id
 
 
 def test_portable_hash_expr_matches_duckdb_hex_polynomial(spark):
