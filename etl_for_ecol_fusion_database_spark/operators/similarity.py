@@ -338,6 +338,7 @@ def knn_join(
     *,
     k: int = 3,
     n_bits: int | None = None,
+    corpus_count: int | None = None,
     seed: int = 42,
     target_bucket_rows: int = 32,
     signature_fn=portable_hyperplane_signatures_df,
@@ -356,9 +357,11 @@ def knn_join(
     at ``target_bucket_rows``, so candidate-pair volume grows ~N *
     target_bucket_rows, LINEAR in the corpus, at any scale (a fixed bit
     width leaves the pair space N²/2^bits — still quadratic — which the
-    round-4 scaling audit measured at 5.0x wall on 10x data).  The one
-    count() job that feeds the derivation is a column-pruned scan; pass an
-    explicit ``n_bits`` to skip it and pin the width.  One shuffle keyed
+    round-4 scaling audit measured at 5.0x wall on 10x data).  Pass
+    ``corpus_count`` (from catalog stats or parquet footer metadata —
+    ``catalog.table_row_count``) or an explicit ``n_bits`` to keep plan
+    construction free of Spark jobs; only when neither is given does the
+    derivation fall back to a column-pruned count() job.  One shuffle keyed
     on the bucket (both sides co-partitioned), then the per-id top-k
     window costs the second (and last) exchange; the rank filter plans as
     WindowGroupLimit (bounded per-key state).
@@ -372,9 +375,9 @@ def knn_join(
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_bits is None:
-        n_bits = derive_n_bits(
-            base.select("id").count(), target_bucket_rows=target_bucket_rows
-        )
+        if corpus_count is None:
+            corpus_count = base.select("id").count()
+        n_bits = derive_n_bits(corpus_count, target_bucket_rows=target_bucket_rows)
     sigs = signature_fn(base, n_bits=n_bits, seed=seed)
     sided = with_norm(base, "v").join(sigs, "id")
     a = sided.select(

@@ -162,17 +162,21 @@ def x2_knn_join(spark, sf_dir):
     derivation (params CTE over COUNT(*)), buckets, cosines, and ranks
     end to end.
 
-    The derivation needs the corpus count, which is an eager job at
-    plan-construction time (the width changes the NUMBER of signature
-    columns — structural, not expressible lazily).  The count is memoized
-    per fixture dir, so one process that builds this plan repeatedly
-    (plan lint + bench + verify) pays the column-pruned count scan once
-    per fixture rather than once per construction (round-5 ADVICE);
-    callers that must keep construction fully side-effect-free pass an
+    The derivation needs the corpus count, and the width changes the
+    NUMBER of signature columns — structural, so it must be known at
+    plan-construction time.  Round 7 (round-5/6 ADVICE): the count comes
+    from parquet FOOTER metadata (catalog.table_row_count, a driver-side
+    O(footer) pyarrow read) instead of a Spark count() job, so building
+    this plan runs ZERO Spark jobs — plan rendering, lint, and bench
+    warm-up are side-effect-free.  At cluster scale the same number comes
+    from catalog statistics; footers are the file-level equivalent.
+    Memoized per fixture dir; callers with a real catalog pass an
     explicit n_bits instead."""
     n = _KNN_CORPUS_COUNT.get(sf_dir)
     if n is None:
-        n = _t(spark, sf_dir, "embeddings").select("vec_id").count()
+        from ..catalog import table_row_count
+
+        n = table_row_count(sf_dir, "embeddings")
         _KNN_CORPUS_COUNT[sf_dir] = n
     return similarity.knn_join(
         _t(spark, sf_dir, "embeddings"),

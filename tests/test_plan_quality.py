@@ -488,3 +488,34 @@ def test_partition_pruned_read_prunes_to_one_day(spark, sf_dir):
     directory pruning), never a post-scan filter over all partitions."""
     plan = _final_plan(registry.QUERIES["s24_partition_pruned_read"](spark, sf_dir))
     assert re.search(r"PartitionFilters: \[[^\]]*day", plan), plan
+
+
+def test_knn_join_plan_construction_runs_no_spark_jobs(spark, sf_dir):
+    """Round 7 (round-5/6 ADVICE): x2_knn_join's adaptive signature width
+    now comes from parquet footer metadata (catalog.table_row_count), not
+    an eager count() job — plan rendering must be side-effect-free.  The
+    only jobs allowed during construction are Spark's own parquet
+    schema-inference listings ('parquet at ...'), which every DataFrame
+    build over files incurs; a 'count at ...' job here is the regression."""
+    from etl_for_ecol_fusion_database_spark.registry_ext import q14_r4b_scale
+
+    q14_r4b_scale._KNN_CORPUS_COUNT.clear()
+
+    def job_names():
+        jl = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
+        return {(jl.apply(i).jobId(), str(jl.apply(i).name())) for i in range(jl.size())}
+
+    before = job_names()
+    df = registry.QUERIES["x2_knn_join"](spark, sf_dir)
+    # force full physical planning without execution
+    df._jdf.queryExecution().executedPlan().toString()
+    new = job_names() - before
+    offenders = [n for _, n in new if not n.startswith("parquet at")]
+    assert not offenders, f"plan construction ran Spark jobs: {offenders}"
+
+
+def test_table_row_count_matches_spark_count(spark, sf_dir):
+    from etl_for_ecol_fusion_database_spark.catalog import table_row_count
+
+    for tbl in ("embeddings", "documents", "nation"):
+        assert table_row_count(sf_dir, tbl) == load_table(spark, sf_dir, tbl).count()
