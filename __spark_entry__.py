@@ -52,28 +52,13 @@ def _witnessed_names() -> frozenset[str]:
     50-slot sample window automatically instead of keeping a stale
     witness — the round-6 blind spot that left 16 edited queries
     hand-verified only."""
-    import glob
-    import json
-    import os
-
-    from etl_for_ecol_fusion_database_spark import witness
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    witnessed: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                sheet = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, rec in sheet.items():
-            if not isinstance(rec, dict):
-                continue
-            if rec.get("hash_match") is True:
-                witnessed.add(name)
-            elif rec.get("err") == "no_oracle" and name not in registry.ORACLES:
-                witnessed.add(name)
+    witnessed = frozenset(_last_witness_round())
     try:
+        # the import itself lives inside the guard: an import-time failure
+        # in witness.py (or a transitive import) must degrade to the
+        # pre-round-7 rotation, not crash the driver contract (ADVICE r07)
+        from etl_for_ecol_fusion_database_spark import witness
+
         stale = witness.stale_names()
     except Exception:
         # fingerprinting must never take down the driver contract; with no
@@ -83,6 +68,36 @@ def _witnessed_names() -> frozenset[str]:
     return frozenset(witnessed - stale)
 
 
+def _last_witness_round() -> dict[str, int]:
+    """Map each satisfactorily-witnessed name to the NEWEST round number
+    whose sheet shows that witness (hash-PASS, or rows-only for an entry
+    that still has no oracle).  Used both as the witnessed set and to
+    order the already-witnessed tail least-recently-witnessed-first."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                sheet = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in sheet.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+            elif rec.get("err") == "no_oracle" and name not in registry.ORACLES:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def _rotated_names() -> list[str]:
     """Registration order, partitioned so unwitnessed entries come first
     (the driver's CORRECTNESS sheet samples only the first 50).
@@ -90,7 +105,10 @@ def _rotated_names() -> list[str]:
     Within the unwitnessed block: explicit priorities first, then TPC-H
     queries, then oracle-backed ext entries in registration order, then
     rows-only entries (weaker driver check — spend sample slots on the
-    hash-checkable ones first).
+    hash-checkable ones first).  The already-witnessed tail is ordered
+    least-recently-witnessed-first, so spare sample slots refresh the
+    oldest evidence (e.g. the x4 multimodal family, VERDICT r07 item #8)
+    instead of re-running whatever registered first.
     """
     priority = [
         # named in VERDICT.md round-3 "done" criterion — must land in the
@@ -108,7 +126,12 @@ def _rotated_names() -> list[str]:
         n for n in names
         if n not in witnessed and n not in priority
     ]
-    seen = [n for n in names if n in witnessed]
+    last_round = _last_witness_round()
+    order = {n: i for i, n in enumerate(names)}
+    seen = sorted(
+        (n for n in names if n in witnessed),
+        key=lambda n: (last_round.get(n, 0), order[n]),
+    )
     tpch = [n for n in unseen if n.startswith("q") and n[1].isdigit()]
     rest_oracled = [
         n for n in unseen if n not in tpch and n in registry.ORACLES

@@ -15,12 +15,20 @@ query gets a deterministic fingerprint over
   inline oracles and parameter tweaks are caught),
 - recursively (bounded depth), the source of every package-internal
   function/class the callable references and the repr of every primitive
-  package-internal constant it references, and
+  package-internal constant it references — including references made
+  only inside nested functions/lambdas/comprehensions (their code
+  objects carry their own ``co_names``; round-8 ADVICE fix), and
 - for every package-internal MODULE it references (e.g. the
-  ``operators.similarity`` handle inside ``x2_knn_join``), the md5 of
-  that module file plus its transitive intra-package imports — an
-  operator-layer edit invalidates exactly the queries that use that
-  operator.
+  ``operators.similarity`` handle inside ``x2_knn_join``), the sources
+  of exactly the attributes the function accesses on that handle
+  (``similarity.knn_join`` hashes ``knn_join``'s source, recursively) —
+  narrowed in round 8 from the whole-file+transitive-imports hash that
+  made one unrelated ``catalog.py`` helper invalidate 68 witnesses in
+  round 7.  The whole-file closure hash remains the fallback whenever
+  the accessed attributes can't be statically determined (unparsable
+  source, or the module handle escapes as a bare name — passed as an
+  argument, ``getattr``, aliasing), so the failure direction stays
+  "over-invalidate", never "keep a stale witness".
 
 ``scripts/update_witness_fp.py`` snapshots fingerprints into
 ``docs/WITNESS_FP.json`` at round start (when the newest CORRECTNESS
@@ -37,6 +45,7 @@ import hashlib
 import inspect
 import json
 import os
+import textwrap
 import types
 from collections.abc import Callable
 
@@ -47,11 +56,14 @@ _REPO_DIR = os.path.dirname(_PKG_DIR)
 #: committed fingerprint snapshot consumed by __spark_entry__._witnessed_names
 RECORDED_PATH = os.path.join(_REPO_DIR, "docs", "WITNESS_FP.json")
 
-#: how deep to follow function -> referenced-function chains.  Depth 3
-#: covers query fn -> registry helper (_t) -> package function
-#: (catalog.load_table) -> its own referenced constants; module handles
-#: terminate immediately in a whole-file hash so depth never explodes.
-_MAX_DEPTH = 3
+#: how deep to follow function -> referenced-function chains.  Raised
+#: from 3 in round 8: module-handle narrowing turned what used to be a
+#: terminal whole-file hash into source recursion, so operator-internal
+#: helper chains now count toward the depth.  A function REACHED at the
+#: cap still contributes its own source plus a deterministic
+#: ``depth-cap:`` part (asserted absent across the whole registry by
+#: tests/test_witness.py), so truncation can never be silent.
+_MAX_DEPTH = 5
 
 _PRIMITIVES = (str, bytes, int, float, bool, type(None))
 
@@ -118,12 +130,21 @@ def _intra_imports(modname: str) -> frozenset[str]:
                 if node.level and node.module:
                     base = f"{base}.{node.module}" if base else node.module
                 if base.startswith(_PKG_NAME):
-                    found.add(base)
-                    # "from .operators import dedup" imports submodules too
+                    # "from .operators import dedup" depends on the dedup
+                    # SUBMODULE; the base package's __init__ matters only
+                    # when a non-module symbol is taken from it (otherwise
+                    # including it snowballs: operators/__init__ imports
+                    # every operator module, so one "from . import x"
+                    # used to pull the whole package into the closure)
+                    base_needed = False
                     for alias in node.names:
                         sub = f"{base}.{alias.name}"
                         if _module_file(sub) is not None:
                             found.add(sub)
+                        else:
+                            base_needed = True
+                    if base_needed:
+                        found.add(base)
     got = frozenset(m for m in found if _module_file(m) is not None)
     _INTRA_IMPORTS_MEMO[modname] = got
     return got
@@ -174,15 +195,33 @@ def _unwrap(fn: Callable) -> Callable:
     return fn
 
 
+def _all_code_names(code: types.CodeType) -> frozenset[str]:
+    """``co_names`` of a code object AND of every code object nested in
+    its ``co_consts`` (lambdas, comprehensions, inner ``def``s compile to
+    their own code objects whose global references are invisible to the
+    parent's ``co_names`` — round-8 ADVICE fix: a package function
+    referenced only inside a nested function must still fingerprint)."""
+    names: set[str] = set()
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return frozenset(names)
+
+
 def _referenced(fn: Callable) -> dict[str, object]:
-    """Objects the function body can reach by name: globals named in
-    ``co_names`` plus closure free variables."""
+    """Objects the function body (including nested code objects) can reach
+    by name: globals named in any reachable ``co_names`` plus top-level
+    closure free variables."""
     out: dict[str, object] = {}
     code = getattr(fn, "__code__", None)
     if code is None:
         return out
     g = getattr(fn, "__globals__", {})
-    for name in code.co_names:
+    for name in _all_code_names(code):
         if name in g:
             out[name] = g[name]
     for name, cell in zip(
@@ -195,8 +234,193 @@ def _referenced(fn: Callable) -> dict[str, object]:
     return out
 
 
+_ATTR_USE_MEMO: dict[
+    types.CodeType,
+    tuple[dict[str, frozenset[str]], frozenset[str], dict[str, str]] | None,
+] = {}
+
+
+def _module_attr_use(
+    fn: types.FunctionType,
+) -> tuple[dict[str, frozenset[str]], frozenset[str], dict[str, str]] | None:
+    """Static view of how ``fn``'s source uses names:
+    ``(attrs, bare, imports)`` where
+
+    - ``attrs[varname]`` is the set of attributes accessed as
+      ``varname.attr``,
+    - ``bare`` is every name that ALSO (or only) appears outside an
+      attribute-base position — i.e. escapes analysis (passed as an
+      argument, ``getattr``, aliased), and
+    - ``imports[alias]`` maps names bound by ``import``/``from-import``
+      statements INSIDE the source (function-local imports bind locals,
+      invisible to ``co_names``-vs-globals matching) to the dotted thing
+      they import: either a package module name, or ``module:attr`` for
+      a from-imported symbol.  Only package-internal targets are kept.
+
+    ``None`` when the source can't be parsed; callers must then fall
+    back to the coarse whole-module hash (the safe, over-invalidating
+    direction)."""
+    code = fn.__code__
+    if code in _ATTR_USE_MEMO:
+        return _ATTR_USE_MEMO[code]
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError, ValueError):
+        _ATTR_USE_MEMO[code] = None
+        return None
+    attrs: dict[str, set[str]] = {}
+    bare: set[str] = set()
+    imports: dict[str, str] = {}
+    # the defining module's package, for resolving relative imports the
+    # way the interpreter does (level 1 = the containing package)
+    fn_pkg = (getattr(fn, "__module__", "") or "").rpartition(".")[0]
+
+    class _V(ast.NodeVisitor):
+        def visit_Attribute(self, node: ast.Attribute) -> None:
+            if isinstance(node.value, ast.Name):
+                attrs.setdefault(node.value.id, set()).add(node.attr)
+                # the base Name is consumed by the attribute access; do
+                # not record it as a bare (escaping) use
+                for child in ast.iter_child_nodes(node):
+                    if child is not node.value:
+                        self.visit(child)
+            else:
+                self.generic_visit(node)
+
+        def visit_Name(self, node: ast.Name) -> None:
+            bare.add(node.id)
+
+        def visit_Import(self, node: ast.Import) -> None:
+            for alias in node.names:
+                if alias.name.startswith(_PKG_NAME):
+                    # ``import a.b.c as x`` binds x -> a.b.c;
+                    # ``import a.b.c`` binds only the top name a (attribute
+                    # chains off it narrow per-level via getattr recursion)
+                    if alias.asname:
+                        imports[alias.asname] = alias.name
+                    else:
+                        top = alias.name.split(".", 1)[0]
+                        imports[top] = top
+
+        def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
+            if node.level:
+                base_parts = fn_pkg.split(".") if fn_pkg else []
+                base_parts = base_parts[: len(base_parts) - node.level + 1]
+                base = ".".join(base_parts)
+                if node.module:
+                    base = f"{base}.{node.module}" if base else node.module
+            else:
+                base = node.module or ""
+            if not base.startswith(_PKG_NAME):
+                return
+            for alias in node.names:
+                bound = alias.asname or alias.name
+                if _module_file(f"{base}.{alias.name}") is not None:
+                    imports[bound] = f"{base}.{alias.name}"
+                else:
+                    imports[bound] = f"{base}:{alias.name}"
+
+    _V().visit(tree)
+    out = (
+        {k: frozenset(v) for k, v in attrs.items()},
+        frozenset(bare),
+        imports,
+    )
+    _ATTR_USE_MEMO[code] = out
+    return out
+
+
+def _collect_module_narrowed(
+    modname: str,
+    accessed: frozenset[str] | None,
+    parts: set[str],
+    visited: set[int],
+    depth: int,
+) -> None:
+    """One module handle's fingerprint contribution: the sources of the
+    attributes actually accessed on it when known, else the whole-file
+    transitive closure hash."""
+    if accessed is None:
+        for h in _module_closure_hashes(modname):
+            parts.add("mod:" + h)
+        return
+    import sys as _sys
+
+    mod = _sys.modules.get(modname)
+    if mod is None:
+        # not imported in this process — can't resolve attrs; coarse hash
+        for h in _module_closure_hashes(modname):
+            parts.add("mod:" + h)
+        return
+    for attr in sorted(accessed):
+        target = getattr(mod, attr, _MISSING)
+        if target is _MISSING:
+            # set dynamically (or a typo) — deterministic marker; the
+            # attribute appearing later changes the fingerprint
+            parts.add(f"miss:{modname}.{attr}")
+        else:
+            parts.add(f"sym:{modname}.{attr}")
+            _collect(target, parts, visited, depth + 1)
+
+
+def _collect_fn_refs(
+    fn: types.FunctionType, parts: set[str], visited: set[int], depth: int
+) -> None:
+    """Fingerprint everything ``fn``'s body references.  Package-module
+    handles are narrowed to the attributes the source actually accesses
+    (``mod.attr`` hashes ``attr``'s source recursively); the whole-file
+    closure hash is kept only for handles whose use can't be statically
+    resolved — so an unrelated helper added to a hub module no longer
+    invalidates every query that touches that module (round-7 blast
+    radius: 68 witnesses for one ``catalog.py`` utility).  Function-local
+    package imports (``from ..operators import sampling as s``) are
+    resolved from the AST — they bind locals, so the ``co_names``-vs-
+    globals matching below cannot see them."""
+    use = _module_attr_use(fn)
+    refs = _referenced(fn)
+    if use is None:
+        # unparsable source: every reachable package object, coarsely
+        for sub in refs.values():
+            _collect(sub, parts, visited, depth + 1)
+        return
+    attrs, bare, imports = use
+    for name, sub in refs.items():
+        if name not in attrs and name not in bare:
+            # a co_names artifact: import-statement operand or an
+            # attribute name that merely coincides with a global — the
+            # source never reads this global as a plain name
+            continue
+        if name in imports:
+            continue  # locally rebound by an import statement below
+        if isinstance(sub, types.ModuleType) and _is_pkg_module(sub):
+            accessed = attrs.get(name) if name not in bare else None
+            _collect_module_narrowed(
+                sub.__name__, accessed, parts, visited, depth
+            )
+        else:
+            _collect(sub, parts, visited, depth + 1)
+    import sys as _sys
+
+    for alias, spec in imports.items():
+        if ":" in spec:
+            modname, attr = spec.split(":", 1)
+            mod = _sys.modules.get(modname)
+            target = getattr(mod, attr, _MISSING) if mod else _MISSING
+            if target is _MISSING:
+                _collect_module_narrowed(modname, None, parts, visited, depth)
+            else:
+                parts.add(f"sym:{modname}.{attr}")
+                _collect(target, parts, visited, depth + 1)
+        else:
+            accessed = attrs.get(alias) if alias not in bare else None
+            _collect_module_narrowed(spec, accessed, parts, visited, depth)
+
+
+_MISSING = object()
+
+
 def _collect(obj: object, parts: set[str], visited: set[int], depth: int) -> None:
-    if id(obj) in visited or depth > _MAX_DEPTH:
+    if id(obj) in visited:
         return
     visited.add(id(obj))
     if isinstance(obj, types.ModuleType):
@@ -213,8 +437,12 @@ def _collect(obj: object, parts: set[str], visited: set[int], depth: int) -> Non
         except (OSError, TypeError):
             parts.add(f"obj:{mod}.{getattr(obj, '__qualname__', repr(obj))}")
         if isinstance(obj, types.FunctionType):
-            for sub in _referenced(obj).values():
-                _collect(sub, parts, visited, depth + 1)
+            if depth >= _MAX_DEPTH:
+                # never truncate silently: the cap hit itself becomes a
+                # deterministic part, and tests assert no query has one
+                parts.add(f"depth-cap:{mod}.{obj.__qualname__}")
+                return
+            _collect_fn_refs(obj, parts, visited, depth)
         return
     if isinstance(obj, _PRIMITIVES):
         parts.add("val:" + repr(obj))
@@ -233,9 +461,10 @@ def _collect(obj: object, parts: set[str], visited: set[int], depth: int) -> Non
             pass
 
 
-def query_fingerprint(name: str) -> str:
-    """Deterministic content fingerprint of one registered query (see
-    module docstring for exactly what it covers)."""
+def _fingerprint_parts(name: str) -> set[str]:
+    """The unsorted part set behind ``query_fingerprint`` — exposed so
+    tests can assert structural properties (no ``depth-cap:`` hits, the
+    right ``sym:``/``mod:`` composition) instead of only hash equality."""
     from . import registry
 
     fn = _unwrap(registry.QUERIES[name])
@@ -245,10 +474,19 @@ def query_fingerprint(name: str) -> str:
     except (OSError, TypeError):
         parts.add("obj:" + repr(fn))
     visited: set[int] = set()
-    for obj in _referenced(fn).values():
-        _collect(obj, parts, visited, depth=1)
+    if isinstance(fn, types.FunctionType):
+        _collect_fn_refs(fn, parts, visited, depth=0)
+    else:
+        for obj in _referenced(fn).values():
+            _collect(obj, parts, visited, depth=1)
+    return parts
+
+
+def query_fingerprint(name: str) -> str:
+    """Deterministic content fingerprint of one registered query (see
+    module docstring for exactly what it covers)."""
     h = hashlib.md5()
-    for p in sorted(parts):
+    for p in sorted(_fingerprint_parts(name)):
         h.update(p.encode())
         h.update(b"\x00")
     return h.hexdigest()

@@ -20,9 +20,19 @@ Rules applied:
   in round 7: every query edited after its round-6 witness was
   independently re-verified via scripts/verify_local.py — VERDICT.md
   round 6, "What's wrong" #1);
+- ``--accept-verified PATH`` records current fingerprints for names whose
+  record in PATH (a scripts/verify_local.py results JSON — driver-identical
+  canonicalization) shows hash_match true, or rows-only for an entry that
+  has no oracle.  Used when a fingerprint-ALGORITHM change (round 8's
+  module-handle narrowing) churns recorded fingerprints without any query
+  semantics changing: the queries are re-verified locally against the
+  current tree, the results file is committed under docs/ for audit, and
+  the witness is re-anchored to the verified code.  Never pass a results
+  file produced against a different tree than HEAD;
 - names no longer registered are pruned.
 
 Usage:  python scripts/update_witness_fp.py [--bootstrap]
+                                            [--accept-verified PATH]
 """
 
 from __future__ import annotations
@@ -71,6 +81,17 @@ def main() -> None:
                 refreshed.append(name)
             recorded[name] = current[name]
 
+    accepted = []
+    if "--accept-verified" in sys.argv[1:]:
+        path = sys.argv[sys.argv.index("--accept-verified") + 1]
+        with open(path) as fh:
+            verified = json.load(fh)
+        for name, rec in verified.items():
+            if name in current and _satisfactory(rec, name):
+                if recorded.get(name) != current[name]:
+                    accepted.append(name)
+                recorded[name] = current[name]
+
     boot = []
     if bootstrap:
         ever_green: set[str] = set()
@@ -100,6 +121,8 @@ def main() -> None:
     stale = sorted(witness.stale_names() & set(recorded) | (set(current) - set(recorded)))
     print(f"newest sheet: {os.path.basename(newest)}")
     print(f"refreshed from newest sheet: {len(refreshed)}")
+    if accepted:
+        print(f"accepted from local verification: {len(accepted)}")
     if bootstrap:
         print(f"bootstrapped: {len(boot)}")
     if pruned:

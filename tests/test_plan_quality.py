@@ -519,3 +519,26 @@ def test_table_row_count_matches_spark_count(spark, sf_dir):
 
     for tbl in ("embeddings", "documents", "nation"):
         assert table_row_count(sf_dir, tbl) == load_table(spark, sf_dir, tbl).count()
+
+
+def test_table_row_count_skips_hidden_and_staging_files(tmp_path):
+    """ADVICE r07: footer counting must ignore '.'/'_'-prefixed files and
+    dirs (aborted-write staging debris) exactly as Spark readers do —
+    otherwise a leftover '.part-….parquet' inflates knn_join's derived
+    signature width."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_for_ecol_fusion_database_spark.catalog import table_row_count
+
+    tdir = tmp_path / "t.parquet"
+    tdir.mkdir()
+    pq.write_table(pa.table({"a": list(range(7))}), tdir / "part-0.parquet")
+    shutil.copy(tdir / "part-0.parquet", tdir / ".part-1.parquet")
+    shutil.copy(tdir / "part-0.parquet", tdir / "_committed.parquet")
+    staging = tdir / "_temporary"
+    staging.mkdir()
+    shutil.copy(tdir / "part-0.parquet", staging / "part-2.parquet")
+    assert table_row_count(str(tmp_path), "t") == 7

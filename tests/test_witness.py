@@ -39,19 +39,121 @@ def test_fingerprint_sees_oracle_text(monkeypatch):
     assert witness.query_fingerprint(name) != base
 
 
-def test_fingerprint_includes_operator_module_closure():
-    """x2_knn_join's fingerprint must cover operators/similarity.py (the
-    module whose round-6 plane fix was the motivating stale witness)."""
-    from etl_for_ecol_fusion_database_spark import witness as w
-
-    fn = w._unwrap(registry.QUERIES["x2_knn_join"])
-    parts: set[str] = set()
-    visited: set[int] = set()
-    for obj in w._referenced(fn).values():
-        w._collect(obj, parts, visited, depth=1)
+def test_fingerprint_narrows_module_handle_to_accessed_symbols():
+    """x2_knn_join uses the ``similarity`` module handle; its fingerprint
+    must cover exactly the accessed symbols' SOURCES (round-8 narrowing),
+    not the whole-file hash that made one unrelated catalog.py helper
+    invalidate 68 witnesses in round 7."""
+    parts = witness._fingerprint_parts("x2_knn_join")
     assert any(
+        p == "sym:etl_for_ecol_fusion_database_spark.operators.similarity.knn_join"
+        for p in parts
+    ), sorted(p for p in parts if p.startswith("sym:"))
+    assert any(
+        p.startswith("src:etl_for_ecol_fusion_database_spark.operators.similarity.knn_join:")
+        for p in parts
+    )
+    # and the coarse whole-file hash of similarity.py is gone
+    assert not any(
         p.startswith("mod:") and "operators.similarity=" in p for p in parts
-    ), sorted(parts)[:5]
+    )
+
+
+def test_fingerprint_still_sees_operator_source_change(monkeypatch):
+    """The property the round-6 bug was about, re-proven under narrowing:
+    editing the SOURCE of an operator function a query uses must change
+    that query's fingerprint."""
+    from etl_for_ecol_fusion_database_spark.operators import similarity
+
+    base = witness.query_fingerprint("x2_knn_join")
+    real_getsource = witness.inspect.getsource
+
+    def fake_getsource(obj):
+        src = real_getsource(obj)
+        if getattr(obj, "__qualname__", "") == similarity.knn_join.__qualname__:
+            return src + "\n# edited"
+        return src
+
+    monkeypatch.setattr(witness.inspect, "getsource", fake_getsource)
+    assert witness.query_fingerprint("x2_knn_join") != base
+
+
+def test_unrelated_hub_module_edit_does_not_invalidate(monkeypatch):
+    """VERDICT r07 item #4 done-criterion: adding a new UNUSED function to
+    catalog.py (simulated as a whole-file content change that touches no
+    referenced symbol's source) must leave every fingerprint unchanged —
+    i.e. witness.stale_names() stays whatever it was."""
+    before = dict(witness.current_fingerprints())
+    cat_path = os.path.join(witness._PKG_DIR, "catalog.py")
+    monkeypatch.setitem(witness._FILE_MD5_MEMO, cat_path, "f" * 32)
+    monkeypatch.setattr(witness, "_ALL_FP_MEMO", None)
+    after = witness.current_fingerprints()
+    assert after == before
+
+
+def test_coarse_fallback_still_consults_file_hashes(monkeypatch):
+    """The inverse guard (keeps the previous test non-vacuous): for a query
+    that still carries a whole-file ``mod:`` hash, perturbing that module
+    file's hash MUST change the fingerprint."""
+    target = None
+    for n in registry.QUERIES:
+        for p in witness._fingerprint_parts(n):
+            if p.startswith("mod:"):
+                modname = p[4:].split("=", 1)[0]
+                target = (n, modname)
+                break
+        if target:
+            break
+    if target is None:  # every handle narrowed — nothing to check
+        return
+    name, modname = target
+    base = witness.query_fingerprint(name)
+    path = witness._module_file(modname)
+    monkeypatch.setitem(witness._FILE_MD5_MEMO, path, "0" * 32)
+    assert witness.query_fingerprint(name) != base
+
+
+def test_no_depth_cap_or_unresolved_attr_across_registry():
+    """Silent-truncation guard (round-8 ADVICE): a depth-cap hit or an
+    unresolvable ``mod.attr`` access anywhere in the registry must fail
+    loudly here, not silently keep a stale witness green."""
+    for n in registry.QUERIES:
+        parts = witness._fingerprint_parts(n)
+        capped = [p for p in parts if p.startswith("depth-cap:")]
+        missing = [p for p in parts if p.startswith("miss:")]
+        assert not capped, (n, capped)
+        assert not missing, (n, missing)
+
+
+def test_nested_code_object_references_are_visible():
+    """round-8 ADVICE fix: a package function referenced ONLY inside a
+    nested lambda/comprehension (its own code object) must still appear in
+    _referenced — otherwise an edit to it keeps a stale witness green."""
+    from etl_for_ecol_fusion_database_spark import catalog
+
+    ns = dict(vars(catalog))
+    exec(  # noqa: S102 — building a synthetic closure-shaped function
+        "def outer():\n"
+        "    return (lambda: table_row_count('/x', 'y'))()\n",
+        ns,
+    )
+    refs = witness._referenced(ns["outer"])
+    assert "table_row_count" in refs
+    assert refs["table_row_count"] is catalog.table_row_count
+
+
+def test_function_local_import_is_narrowed():
+    """x6_shard_manifest imports pack_shards via a function-local
+    ``from ..operators import sampling as sampling_ops`` — the fingerprint
+    must cover pack_shards' source without the whole-file sampling hash."""
+    parts = witness._fingerprint_parts("x6_shard_manifest")
+    assert any(
+        p == "sym:etl_for_ecol_fusion_database_spark.operators.sampling.pack_shards"
+        for p in parts
+    ), sorted(p for p in parts if p.startswith("sym:"))[:8]
+    assert not any(
+        p.startswith("mod:") and "operators.sampling=" in p for p in parts
+    )
 
 
 def test_unwrap_reaches_decorated_fn():
@@ -82,9 +184,9 @@ def test_stale_query_reenters_rotation(monkeypatch):
     longer matches must come FIRST in queries() ordering (back into the
     driver's 50-slot sample window)."""
     names = list(entrymod.queries())
-    # pick a name currently deep in the 'seen' tail so the move is visible
-    target = names[-1]
-    assert names.index(target) >= 50
+    witnessed = entrymod._witnessed_names()
+    # pick a name currently in the 'seen' tail so the move is visible
+    target = next(n for n in reversed(names) if n in witnessed)
 
     real_stale = witness.stale_names
 
@@ -93,7 +195,13 @@ def test_stale_query_reenters_rotation(monkeypatch):
 
     monkeypatch.setattr(witness, "stale_names", fake_stale)
     names2 = list(entrymod.queries())
-    assert names2.index(target) < 50
+    still_witnessed = entrymod._witnessed_names()
+    assert target not in still_witnessed
+    first_witnessed_idx = min(
+        i for i, n in enumerate(names2) if n in still_witnessed
+    )
+    # the newly-stale name orders before every still-witnessed one
+    assert names2.index(target) < first_witnessed_idx
     # and nothing fell off the registry
     assert set(names2) == set(registry.QUERIES)
 
