@@ -192,6 +192,10 @@ HEAVY_HEAD = frozenset(
 )
 N_RUNS_HEAVY = 5
 
+#: uncounted full-SF warm-up runs for each HEAVY_HEAD query (see the
+#: in-loop comment; round-8, VERDICT r07 item #5)
+HEAVY_WARMUP_RUNS = 2
+
 
 def _gc_barrier(spark) -> None:
     """Force a JVM collection outside the timing window (best-effort)."""
@@ -287,6 +291,21 @@ def main() -> None:
         # keep timing the rest, surface everything in the JSON line.
         # N_RUNS timed runs, median reported; shuffle deltas bracket the
         # first run only (per-run shuffle volume is deterministic).
+        # the heavy heads additionally get uncounted warm-up runs AT THE
+        # MEASURED SF: their r07 raw runs ([8.7, 8.4, 6.1, 6.2, 6.2] for
+        # x3_profile_sketch) show the first TWO full-scale runs ~40% hot
+        # even after the sf0.001 warm-up and GC barrier — tiered JIT on the
+        # Expand/percentile subtrees plus first-touch page cache at sf0.1,
+        # neither of which the smoke-scale pass reaches.  Steady-state is
+        # the quantity that scales with data volume (VERDICT r07 item #5:
+        # raw-run spread <= 15% for every heavy head).
+        if name in HEAVY_HEAD:
+            for _ in range(HEAVY_WARMUP_RUNS):
+                try:
+                    _gc_barrier(spark)
+                    fn(spark, SF_DIR).count()
+                except Exception:
+                    break
         runs: list[float] = []
         failed = False
         before = _shuffle_totals(spark)
@@ -345,7 +364,12 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": N_RUNS,
         "runs_per_query_heavy": N_RUNS_HEAVY,
+        # authoritative per-query protocol (ADVICE r07: the flat
+        # runs_per_query field is wrong for the HEAVY_HEAD queries, which
+        # run N_RUNS_HEAVY times behind a GC barrier since round 7)
+        "runs_by_query": {k: len(v) for k, v in all_runs.items()},
         "heavy_head_queries": sorted(HEAVY_HEAD),
+        "heavy_head_warmup_runs": HEAVY_WARMUP_RUNS,
         "all_runs": all_runs,
         "shuffle_bytes": shuffle_bytes,
         "sf": sf_val,

@@ -884,7 +884,20 @@ def semantic_dedup(
     from . import similarity
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    assigned = clustering.assign_clusters(base, "v", centroids)
+    # two assignment strategies with identical output (exact-double argmin,
+    # ties to lowest index, bit-equal accumulation order): inlined literal
+    # folds stay inside one whole-stage-codegen projection up to ~32
+    # centroids; past that the per-(row, centroid) interpreted fold cost
+    # dominates, so large k switches to the Arrow-batched numpy kernel —
+    # the shape that holds when k scales with the corpus (SemDeDup wants
+    # constant cluster size, so k ~ N/size; a 100-TB corpus means
+    # thousands of centroids and a dense distance kernel, not k inlined
+    # expressions).  assign_clusters_join is the pure-JVM fallback with
+    # the same contract.
+    if len(centroids) > 32:
+        assigned = clustering.assign_clusters_batched(base, "v", centroids)
+    else:
+        assigned = clustering.assign_clusters(base, "v", centroids)
     # Materialize (id, cluster, nrm, v) once: the relation feeds BOTH join
     # sides plus the final anti-join, and without the barrier each consumer
     # re-evaluates the k x dim assignment expression (measured 5.5x on the

@@ -1907,7 +1907,9 @@ WITH e AS (
     SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cent AS (
-    SELECT id AS c_id, v AS cv FROM e WHERE id < 16
+    SELECT id AS c_id, v AS cv FROM e
+    WHERE id < (SELECT LEAST(GREATEST(16, COUNT(*) // 125), COUNT(*))
+                FROM embeddings)
 ),
 d AS (
     SELECT e.id, cent.c_id,
@@ -1941,21 +1943,31 @@ def x1_semdedup(spark, sf_dir):
     nearest-centroid clustering bounds the pairwise-cosine join to within
     clusters, then the higher-id member of every >= threshold pair is
     discarded — the embedding-space dedup a 100-TB pretraining corpus gets
-    where exact/MinHash text dedup cannot see paraphrases.  Pinned
-    first-16-vector centroids (the x8 seeding, k=16: the within-cluster
-    pair space is ~N^2/k, so k tracks sqrt(N) — 4 clusters cost 4x the
-    pairs at this N) and the bit-identical double-fold distance/cosine
-    make every stage — assignment, candidate pairs, discard set,
-    survivors — DuckDB-replayable.  Fixture threshold 0.3 (production
-    ~0.95: the synthetic embeddings are near-orthogonal, so 0.95 would be
-    vacuous here).  Norms once per vector; one cluster-keyed shuffle +
-    one anti-join."""
+    where exact/MinHash text dedup cannot see paraphrases.  Centroid count
+    is ADAPTIVE: k = clamp(N/125, 16, N) from parquet-footer row counts
+    (catalog.table_row_count — zero Spark jobs at plan construction), so
+    the expected cluster size stays ~constant and the within-cluster pair
+    space sum(|c|^2) ~ N·125 grows LINEARLY with the corpus.  The fixed
+    k=16 this replaced measured 53x per 10x data at the sf1 decade
+    (docs/SCALING.md round 8) — the quadratic tail the SemDeDup recipe
+    exists to avoid; the oracle computes the same k from COUNT(*), so
+    both sides stay bit-identical at every scale.  Seeds are the k
+    lowest-id vectors (the x8 seeding); for k > 32 the assignment runs as
+    an Arrow-batched numpy distance kernel with the fold's exact
+    accumulation order (see operators/clustering.assign_clusters_batched;
+    assign_clusters_join is the pure-JVM fallback).  Fixture threshold 0.3
+    (production ~0.95: the synthetic embeddings are near-orthogonal, so
+    0.95 would be vacuous here).  Norms once per vector; one
+    cluster-keyed shuffle + one anti-join."""
+    from ..catalog import table_row_count
     from ..operators import dedup as dedup_ops
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    seeds = [v for _, v in _embedding_head(spark, sf_dir, 16)]
+    n = table_row_count(sf_dir, "embeddings")
+    k = min(max(16, n // 125), n)
+    seeds = [v for _, v in _embedding_head(spark, sf_dir, k)]
     return dedup_ops.semantic_dedup(
         emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3
     ).select(F.col("id").alias("vec_id"), "cluster")
