@@ -447,18 +447,46 @@ def _collect(obj: object, parts: set[str], visited: set[int], depth: int) -> Non
     if isinstance(obj, _PRIMITIVES):
         parts.add("val:" + repr(obj))
         return
+    if isinstance(obj, (set, frozenset, tuple, list, dict)):
+        try:
+            parts.add("val:" + _stable_repr(obj))
+        except Exception:
+            pass
+
+
+def _stable_repr(obj: object, depth: int = 0) -> str:
+    """Deterministic repr for constant containers.  Plain ``repr`` leaks
+    memory addresses for function values (``<function sum at 0x7f…>``)
+    — hash-poison that made one fingerprint differ per process in round
+    8.  Package functions inside containers contribute their SOURCE hash
+    (so editing them still invalidates), foreign callables just their
+    qualified name, sets sort their elements."""
+    if depth > 4:
+        return "<deep>"
+    if isinstance(obj, _PRIMITIVES):
+        return repr(obj)
+    if isinstance(obj, (types.FunctionType, types.BuiltinFunctionType, type)):
+        mod = getattr(obj, "__module__", "") or ""
+        name = getattr(obj, "__qualname__", type(obj).__name__)
+        if mod == _PKG_NAME or mod.startswith(_PKG_NAME + "."):
+            try:
+                src = inspect.getsource(obj)
+                return f"<fn:{mod}.{name}:{hashlib.md5(src.encode()).hexdigest()}>"
+            except (OSError, TypeError):
+                pass
+        return f"<fn:{mod}.{name}>"
+    if isinstance(obj, dict):
+        items = (
+            f"{_stable_repr(k, depth + 1)}:{_stable_repr(v, depth + 1)}"
+            for k, v in obj.items()
+        )
+        return "{" + ",".join(items) + "}"
+    if isinstance(obj, (list, tuple)):
+        body = ",".join(_stable_repr(x, depth + 1) for x in obj)
+        return ("[" + body + "]") if isinstance(obj, list) else ("(" + body + ")")
     if isinstance(obj, (set, frozenset)):
-        # set repr order is hash-randomized across processes — sort first
-        try:
-            parts.add("val:" + repr(sorted(obj, key=repr)))
-        except Exception:
-            pass
-        return
-    if isinstance(obj, (tuple, list, dict)):
-        try:
-            parts.add("val:" + repr(obj))
-        except Exception:
-            pass
+        return "{" + ",".join(sorted(_stable_repr(x, depth + 1) for x in obj)) + "}"
+    return f"<obj:{type(obj).__module__}.{type(obj).__qualname__}>"
 
 
 def _fingerprint_parts(name: str) -> set[str]:

@@ -210,3 +210,20 @@ def test_snapshot_file_is_sorted_json():
     with open(witness.RECORDED_PATH) as fh:
         data = json.load(fh)
     assert list(data) == sorted(data)
+
+
+def test_fingerprints_stable_across_processes():
+    """Round-8 regression: a constant dict holding function values made a
+    fingerprint leak memory addresses (different every process), so the
+    witness flapped stale.  _stable_repr must never emit an address, and
+    a package function inside a container must contribute its source hash
+    (editing it still invalidates)."""
+    from etl_for_ecol_fusion_database_spark import catalog
+
+    r = witness._stable_repr({"sum": sum, "f": catalog.table_row_count, "s": {3, 1}})
+    assert "0x" not in r
+    assert "<fn:builtins.sum>" in r
+    assert "catalog.table_row_count:" in r  # source-hash suffix present
+    for n in registry.QUERIES:
+        for p in witness._fingerprint_parts(n):
+            assert " at 0x" not in p, (n, p[:120])
