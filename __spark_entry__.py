@@ -68,18 +68,28 @@ def _witnessed_names() -> frozenset[str]:
     return frozenset(witnessed - stale)
 
 
-def _last_witness_round() -> dict[str, int]:
+def _last_witness_round(sheets_dir: str | None = None) -> dict[str, int]:
     """Map each satisfactorily-witnessed name to the NEWEST round number
     whose sheet shows that witness (hash-PASS, or rows-only for an entry
     that still has no oracle).  Used both as the witnessed set and to
-    order the already-witnessed tail least-recently-witnessed-first."""
+    order the already-witnessed tail least-recently-witnessed-first.
+
+    A name whose MOST RECENT sheet row is a failure (hash mismatch or an
+    execution error) is NOT witnessed, even if an older sheet was green —
+    the newest evidence is a regression and the name must re-enter the
+    sample window (ADVICE r08: the old any-sheet-ever rule kept exactly
+    such names out of the window forever when the fingerprint hadn't
+    changed).  A rows-only row for a name that has since gained an oracle
+    is not a failure — it just doesn't count as a witness by itself."""
     import glob
     import json
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = sheets_dir or os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
+    newest_round: dict[str, int] = {}
+    newest_failed: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
@@ -91,11 +101,19 @@ def _last_witness_round() -> dict[str, int]:
         for name, rec in sheet.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") is True:
+            satisfactory = rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and name not in registry.ORACLES
+            )
+            if satisfactory:
                 last[name] = max(last.get(name, 0), rnd)
-            elif rec.get("err") == "no_oracle" and name not in registry.ORACLES:
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+            if rnd >= newest_round.get(name, -1):
+                newest_round[name] = rnd
+                # rows-only for a since-oracled entry: unwitnessing is
+                # handled by `satisfactory` above; it is not a regression
+                newest_failed[name] = (
+                    not satisfactory and rec.get("err") != "no_oracle"
+                )
+    return {n: r for n, r in last.items() if not newest_failed.get(n, False)}
 
 
 def _rotated_names() -> list[str]:
@@ -119,6 +137,20 @@ def _rotated_names() -> list[str]:
         # actual writeStream path (VERDICT round-3 item #8)
         "x5_stream_curation_replay",
     ]
+    # VERDICT r08 item #1: these queries' witnesses were re-anchored via
+    # the committed round-8 local verify (--accept-verified after the
+    # fingerprint-algorithm change), i.e. builder-produced verification —
+    # categorically weaker than a driver sheet row.  They outrank the pure
+    # least-recently-witnessed tail until each earns a fresh driver-green
+    # row; once the r09 sheet lands, the normal LRW ordering makes this
+    # list a no-op (they become the most recently witnessed).
+    reanchored = [
+        "s21_jsonl_corrupt_records", "s23_binaryfile_scan",
+        "x1_cdc_chunks", "x1_dup_explain", "x1_incremental_dedup",
+        "x1_minhash_accuracy", "x2_mmr_rerank", "x2_random_projection",
+        "x2_random_projection_fast", "x3_bpe_pair_counts",
+        "x3_hashing_features", "x6_shard_manifest", "x9_curation_v3",
+    ]
     witnessed = _witnessed_names()
     names = list(registry.QUERIES)
     priority = [n for n in priority if n in names and n not in witnessed]
@@ -128,9 +160,17 @@ def _rotated_names() -> list[str]:
     ]
     last_round = _last_witness_round()
     order = {n: i for i, n in enumerate(names)}
+    # self-retiring: a re-anchored name outranks the LRW tail only while
+    # its newest driver-green row predates the round-8 re-anchoring; a
+    # fresh sheet row flips the key to the normal LRW position
+    rean = frozenset(reanchored)
     seen = sorted(
         (n for n in names if n in witnessed),
-        key=lambda n: (last_round.get(n, 0), order[n]),
+        key=lambda n: (
+            0 if n in rean and last_round.get(n, 0) <= 8 else 1,
+            last_round.get(n, 0),
+            order[n],
+        ),
     )
     tpch = [n for n in unseen if n.startswith("q") and n[1].isdigit()]
     rest_oracled = [

@@ -164,6 +164,38 @@ HEADLINE = [
     "x2_random_projection_fast",
 ]
 
+#: FIXED inline panel for the stdout JSON line (VERDICT r08 item #5).
+#: When the line exceeds the driver's 2000-char tail capture even at
+#: integer precision, earlier rounds kept the 50 SLOWEST queries — a
+#: selection that swapped members between rounds (x12_column_profile /
+#: x3_bm25_topk out, x3_hashing_features / s22_schema_evolution in at
+#: r08), making the sheet-over-sheet headline a moving basket.  The
+#: basket is now pinned at exactly the round-8 inline membership
+#: (BENCH_r08.json order, slowest-first as measured then), asserted
+#: against that committed sheet by tests/test_doc_counts.py; the full
+#: per-query detail always lands in BENCH_RESULTS.json regardless.
+PINNED_PANEL = [
+    "x3_profile_sketch", "x2_random_projection", "x2_index_persist",
+    "x1_semdedup", "x2_ivf_pq_ann", "x8_kmeans_clusters",
+    "x1_dup_clusters", "x1_cdc_chunks", "x8_kmeans_elbow",
+    "x9_curation_v3", "x1_minhash_accuracy", "x1_minhash_near_dup",
+    "ingest_copy", "x2_quantized_topk", "x3_ngram_lm_score",
+    "x2_pq_adc_topk", "x2_knn_join", "x1_minhash_portable",
+    "x5_stream_curation_replay", "flagship_valid_cohort",
+    "x2_lsh_bucketed_ann", "x1_training_data_prep", "x2_lsh_portable",
+    "fusion_etl_collisions", "x2_pq_encode", "q18_large_orders",
+    "q2_min_cost_supplier", "x12_data_quality", "x3_bpe_pair_counts",
+    "q3_shipping_priority", "s24_partition_pruned_read",
+    "x6_decontaminate", "x3_tfidf_top_terms",
+    "x3_quality_threshold_filter", "x1_bloom_decontaminate",
+    "x2_hybrid_rrf", "x2_mmr_rerank", "x1_dup_explain",
+    "q5_star_join_revenue", "q21_waiting_supplier",
+    "flagship_valid_flag_cohort", "q9_product_profit", "x2_cosine_topk",
+    "x10_scd2_apply", "x3_hashing_features", "j2_w1_status_rank",
+    "x10_cdc_merge", "x9_curation_v2", "s22_schema_evolution",
+    "x3_grouped_median",
+]
+
 #: timed runs per query; the reported figure is the MEDIAN.  Round-4/5
 #: single-shot timings produced ±0.5 s phantom swings in both directions
 #: from run-order noise alone; the median of 3 makes two consecutive bench
@@ -408,8 +440,9 @@ def main() -> None:
         payload["queries"] = {k: int(round(v)) for k, v in timings.items()}
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1990:
-        # last resort: keep the slowest queries inline, rest in the file
-        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:50])
+        # last resort: keep the PINNED panel inline (fixed basket —
+        # sheet-over-sheet headlines compare the same work), rest in file
+        top = {k: timings[k] for k in PINNED_PANEL if k in timings}
         payload["queries"] = {k: round(v, 1) for k, v in top.items()}
         payload["queries_truncated"] = len(timings) - len(top)
         line = json.dumps(payload, separators=(",", ":"))

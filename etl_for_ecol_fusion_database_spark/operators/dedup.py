@@ -893,9 +893,21 @@ def semantic_dedup(
     # constant cluster size, so k ~ N/size; a 100-TB corpus means
     # thousands of centroids and a dense distance kernel, not k inlined
     # expressions).  assign_clusters_join is the pure-JVM fallback with
-    # the same contract.
+    # the same contract, DISPATCHED here when the Arrow kernel's deps
+    # (numpy/pandas/pyarrow) are absent — previously only described as a
+    # fallback, never selected (ADVICE r08).  All three paths are pinned
+    # bit-identical in tests/test_curation_ops.py.
     if len(centroids) > 32:
-        assigned = clustering.assign_clusters_batched(base, "v", centroids)
+        try:
+            import numpy  # noqa: F401 — Arrow kernel deps, probed only
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            assigned = clustering.assign_clusters_batched(base, "v", centroids)
+        except ImportError:
+            assigned = clustering.assign_clusters_join(
+                base, "v", centroids, "id"
+            )
     else:
         assigned = clustering.assign_clusters(base, "v", centroids)
     # Materialize (id, cluster, nrm, v) once: the relation feeds BOTH join

@@ -355,9 +355,15 @@ def _collect_module_narrowed(
     for attr in sorted(accessed):
         target = getattr(mod, attr, _MISSING)
         if target is _MISSING:
-            # set dynamically (or a typo) — deterministic marker; the
-            # attribute appearing later changes the fingerprint
+            # set dynamically (or a typo) — deterministic marker, PLUS the
+            # coarse whole-file closure hash: an attribute the static pass
+            # saw but runtime can't resolve covers code somewhere in the
+            # module, and a bare marker alone would cover none of it —
+            # the one place the promised "over-invalidate, never keep a
+            # stale witness" direction didn't hold (ADVICE r08)
             parts.add(f"miss:{modname}.{attr}")
+            for h in _module_closure_hashes(modname):
+                parts.add("mod:" + h)
         else:
             parts.add(f"sym:{modname}.{attr}")
             _collect(target, parts, visited, depth + 1)

@@ -27,8 +27,13 @@ Rules applied:
   module-handle narrowing) churns recorded fingerprints without any query
   semantics changing: the queries are re-verified locally against the
   current tree, the results file is committed under docs/ for audit, and
-  the witness is re-anchored to the verified code.  Never pass a results
-  file produced against a different tree than HEAD;
+  the witness is re-anchored to the verified code.  GUARDED since round 9
+  (ADVICE r08): verify_local.py embeds the per-query fingerprint of the
+  code it actually ran (``fp``); any entry whose recorded ``fp`` is
+  missing or differs from the CURRENT fingerprint is refused with a
+  loud per-name message and a non-zero exit — a results file produced
+  against an older tree can no longer silently mark since-edited
+  queries as witnessed;
 - names no longer registered are pruned.
 
 Usage:  python scripts/update_witness_fp.py [--bootstrap]
@@ -82,15 +87,26 @@ def main() -> None:
             recorded[name] = current[name]
 
     accepted = []
+    rejected = []
     if "--accept-verified" in sys.argv[1:]:
         path = sys.argv[sys.argv.index("--accept-verified") + 1]
         with open(path) as fh:
             verified = json.load(fh)
         for name, rec in verified.items():
-            if name in current and _satisfactory(rec, name):
-                if recorded.get(name) != current[name]:
-                    accepted.append(name)
-                recorded[name] = current[name]
+            if name == "__meta__" or name not in current:
+                continue
+            if not _satisfactory(rec, name):
+                continue
+            # provenance guard (ADVICE r08): only accept a verification
+            # whose embedded fingerprint matches the code as it is NOW —
+            # a results file from an older tree must not re-anchor a
+            # since-edited query
+            if not isinstance(rec, dict) or rec.get("fp") != current[name]:
+                rejected.append(name)
+                continue
+            if recorded.get(name) != current[name]:
+                accepted.append(name)
+            recorded[name] = current[name]
 
     boot = []
     if bootstrap:
@@ -123,6 +139,15 @@ def main() -> None:
     print(f"refreshed from newest sheet: {len(refreshed)}")
     if accepted:
         print(f"accepted from local verification: {len(accepted)}")
+    if rejected:
+        print(
+            f"REFUSED {len(rejected)} --accept-verified entries whose "
+            "recorded fingerprint does not match the current tree "
+            "(stale or fingerprint-less results file — re-run "
+            "scripts/verify_local.py at HEAD):"
+        )
+        for n in sorted(rejected):
+            print("  refused:", n)
     if bootstrap:
         print(f"bootstrapped: {len(boot)}")
     if pruned:
@@ -131,6 +156,8 @@ def main() -> None:
     print(f"currently stale (will re-enter rotation): {len(stale)}")
     for n in stale:
         print("  stale:", n)
+    if rejected:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -6,13 +6,25 @@ value hash computed the way the driver does (columns sorted by name, rows
 sorted, values stringified WITHOUT normalization — so Decimal-vs-float64 and
 array-typed columns fail here exactly as they fail on the driver's sheet).
 
+The results JSON carries provenance so downstream consumers can trust it
+(ADVICE r08 / VERDICT r08 item #3): a ``__meta__`` record with the git
+HEAD and tree-dirty flag, and a per-query ``fp`` — the accessed-symbol
+witness fingerprint of the code that actually ran.
+``update_witness_fp.py --accept-verified`` refuses any entry whose
+recorded ``fp`` no longer matches the current tree, so a results file
+produced against an older tree can never re-anchor an edited query.
+
 Usage:  python scripts/verify_local.py [query_name ...]
+Env:    SPARK_GRAFT_VERIFY_SF_DIR  (default /root/testdata/sf0.01)
+        SPARK_GRAFT_VERIFY_OUT     (default /tmp/verify_local.json)
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import os
+import subprocess
 import sys
 import time
 import traceback
@@ -21,7 +33,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
+OUT_PATH = os.environ.get("SPARK_GRAFT_VERIFY_OUT", "/tmp/verify_local.json")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -61,10 +74,30 @@ def canon_hash(df_pandas):
     return h.hexdigest()
 
 
+def _git_provenance() -> dict:
+    """HEAD commit + dirty flag, best-effort (evidence must still be
+    produced in a non-git checkout, just without the anchor)."""
+    out = {}
+    try:
+        out["git_head"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        out["git_dirty"] = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd="/root/repo",
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:
+        pass
+    return out
+
+
 def main(only=None):
     import __spark_entry__ as entry
+    from etl_for_ecol_fusion_database_spark import witness
     from etl_for_ecol_fusion_database_spark.session import get_spark
 
+    fps = witness.current_fingerprints()
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -101,6 +134,9 @@ def main(only=None):
             rec["err"] = f"{type(e).__name__}: {e}"
             rec["trace"] = traceback.format_exc()[-1500:]
         rec["sec"] = round(time.time() - t0, 2)
+        # provenance: the witness fingerprint of the code this result ran
+        # (accept-verified refuses the entry if HEAD has moved since)
+        rec["fp"] = fps.get(name)
         results[name] = rec
         status = (
             "OK" if rec.get("hash_match")
@@ -116,7 +152,12 @@ def main(only=None):
              if not v.get("hash_match") and v.get("err") != "no_oracle"}
     print(f"\n{len(results)} run, {len(fails)} FAIL, "
           f"{sum(1 for v in results.values() if v.get('err') == 'no_oracle')} rows-only")
-    with open("/tmp/verify_local.json", "w") as f:
+    results["__meta__"] = {
+        "sf_dir": SF_DIR,
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **_git_provenance(),
+    }
+    with open(OUT_PATH, "w") as f:
         json.dump(results, f, indent=1, default=str)
     if fails:
         print("FAILURES:", sorted(fails))
