@@ -194,20 +194,34 @@ SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
        CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
 FROM supplier a
 JOIN supplier b
-  ON right(a.s_name, 1) = right(b.s_name, 1)
+  ON left(a.s_name, length(a.s_name) - 2) = left(b.s_name, length(b.s_name) - 2)
  AND a.s_suppkey < b.s_suppkey
-WHERE levenshtein(a.s_name, b.s_name) <= 2
+WHERE levenshtein(a.s_name, b.s_name) <= 1
 """,
 )
 def f9_levenshtein_match(spark, sf_dir):
     """F9 fuzzy entity matching: blocked Levenshtein self-join on supplier
-    names.  The blocking key (last name char) turns an all-pairs O(n^2)
-    comparison into an equi-join with ~n/100-sized buckets — the standard
-    record-linkage shape; at 100 TB the block key would be a phonetic or
-    n-gram key but the plan is identical.  ``levenshtein`` is a JVM built-in
-    (codegen), evaluated only on in-block pairs."""
+    names — prefix blocking (all but the last 2 chars) + edit distance <= 1.
+
+    Scale shape (fixed in round 9, caught by the sf1 decade panel): the
+    original block key ``right(s_name, 1)`` had FIXED cardinality 10, so
+    block sizes — and the candidate pair space — grew linearly with the
+    corpus: candidates = n^2/20, and on TPC-H names the <=2 threshold
+    passed 100% of them, making the OUTPUT itself quadratic (measured
+    46.8x wall per 10x data; 4,995,000 of 4,995,000 candidates emitted at
+    sf1).  A prefix block key's cardinality GROWS with n, so block sizes
+    stay bounded (<= 100 here: only the trailing 2 chars vary within a
+    block) and candidates/output are linear in n — the standard
+    record-linkage fix (sorted-neighborhood / prefix blocking); at 100 TB
+    the prefix would be a phonetic or n-gram key, same plan.  The
+    tightened <=1 threshold keeps the levenshtein filter genuinely
+    selective (~19% of in-block pairs) instead of decorative.
+    ``levenshtein`` is a JVM built-in (codegen), evaluated only on
+    in-block pairs."""
     s = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.expr("right(s_name, 1)").alias("blk")
+        "s_suppkey",
+        "s_name",
+        F.expr("left(s_name, length(s_name) - 2)").alias("blk"),
     )
     a = s.alias("a")
     b = s.alias("b")
@@ -217,7 +231,7 @@ def f9_levenshtein_match(spark, sf_dir):
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
         )
-        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 2)
+        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 1)
         .select(
             F.col("a.s_suppkey").alias("key_a"),
             F.col("b.s_suppkey").alias("key_b"),

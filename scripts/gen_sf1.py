@@ -55,7 +55,16 @@ def _replica_select(table: str, r: int) -> str:
     if table in ("region", "nation"):
         return None  # shared dimensions: original rows only
     if table == "supplier":
-        return f"SELECT s_suppkey + {off} AS s_suppkey, s_name, s_nationkey, s_acctbal FROM src"
+        # regenerate s_name from the offset key in TPC-H's own
+        # 'Supplier#%09d' format: a real 10x corpus has DISTINCT entity
+        # names, and verbatim replication made every name a 10-way exact
+        # duplicate — the fuzzy-match pair space (f9) degenerated the
+        # same way un-rotated documents would have for dedup (round 9)
+        return (
+            f"SELECT s_suppkey + {off} AS s_suppkey, "
+            f"'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR), 9, '0') "
+            "AS s_name, s_nationkey, s_acctbal FROM src"
+        )
     if table == "customer":
         return (
             f"SELECT c_custkey + {off} AS c_custkey, c_name, c_nationkey, "
