@@ -486,7 +486,7 @@ def a10_unpivot(spark, sf_dir):
     oracle="""
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-       TRUE AS merge_invariant,
+       TRUE AS merge_consistent,
        TRUE AS within_tolerance
 FROM events GROUP BY event_type
 """,
@@ -498,12 +498,19 @@ def x11_hll_incremental(spark, sf_dir):
     maintenance (exact distincts don't merge).  The sketch binary itself
     is implementation-defined, so the hash-checked witness (round-5
     conversion from rows-only) asserts the two properties that ARE
-    portable, per group: ``merge_invariant`` — the union of the three
-    per-batch sketches estimates bit-identically to one sketch over the
-    whole relation (the algebraic property incremental maintenance rests
-    on) — and ``within_tolerance`` — the merged estimate lands within the
-    lgK=12 error guard (rsd ~1.6%, 10% guard) of the exact distinct,
-    whose value the oracle recomputes exactly.  Same pattern as
+    portable, per group: ``merge_consistent`` — the union of the three
+    per-batch sketches estimates within 5% (≈3x the lgK=12 rsd) of one
+    sketch over the whole relation — and ``within_tolerance`` — the
+    merged estimate lands within the lgK=12 error guard (rsd ~1.6%, 10%
+    guard) of the exact distinct, whose value the oracle recomputes
+    exactly.  Round 9 (caught by the sf0.1 oracle sweep): the original
+    assertion was bit-identity, which only holds while the Datasketches
+    sketches stay in exact coupon (LIST/SET) mode — at 1500 distincts
+    per group the sketches promote to dense HLL_4 registers, where the
+    union-vs-direct states legitimately drift a few counts (1488 merged
+    vs 1480–1499 direct at sf0.1; exact 1500).  Bounded drift is the
+    property that holds at ANY scale; bit-identity in coupon mode stays
+    pinned in tests/test_analytics_ops.py.  Same pattern as
     x11_hll_accuracy/x3_profile_sketch: the sketch VALUE is
     implementation-defined, its ALGEBRA and ACCURACY are not."""
     from ..operators import incremental
@@ -528,9 +535,10 @@ def x11_hll_incremental(spark, sf_dir):
         .select(
             "event_type",
             "exact_distinct",
-            (F.col("approx_distinct") == F.col("whole_distinct")).alias(
-                "merge_invariant"
-            ),
+            (
+                F.abs(F.col("approx_distinct") - F.col("whole_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("merge_consistent"),
             (
                 F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
                 <= 0.10 * F.col("exact_distinct")

@@ -249,9 +249,13 @@ def test_incremental_late_batch_absorption(spark, sf_dir):
 
 
 def test_hll_incremental_merge_invariance_and_accuracy(spark, sf_dir):
-    """union-of-sketches must equal sketch-of-union EXACTLY (same sketch
-    state), and the estimate must sit within 5% of the true distinct
-    count at HLL lg_k=12."""
+    """union-of-sketches must equal sketch-of-union EXACTLY at the smoke
+    scale — per-group cardinality is small enough that the Datasketches
+    sketches stay in exact coupon (LIST/SET) mode, where merge is
+    lossless — and the estimate must sit within 5% of the true distinct
+    count at HLL lg_k=12.  The dense-mode regime (where bit-identity
+    legitimately breaks) is covered by
+    test_hll_merge_bounded_drift_in_dense_mode below."""
     from etl_for_ecol_fusion_database_spark.operators import incremental
 
     e = load_table(spark, sf_dir, "events")
@@ -275,6 +279,44 @@ def test_hll_incremental_merge_invariance_and_accuracy(spark, sf_dir):
     }
     for r in merged.collect():
         assert abs(r["approx_distinct"] - exact[r["event_type"]]) <= 0.05 * exact[r["event_type"]]
+
+
+def test_hll_merge_bounded_drift_in_dense_mode(spark):
+    """Across the coupon→dense promotion boundary (1500 distincts/group at
+    sf0.1, lgK=12) union-of-sketches and sketch-of-union may differ by a
+    few counts — the round-9 sf0.1 oracle sweep caught the registered
+    witness asserting bit-identity here.  The property that DOES hold at
+    any scale, asserted by the fixed x11_hll_incremental: the drift is
+    bounded by the sketch's own error (≤5% of exact ≈ 3x the lgK=12 rsd),
+    and both estimates stay within the 10% accuracy guard."""
+    from etl_for_ecol_fusion_database_spark.operators import incremental
+
+    e = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    days = [
+        incremental.hll_state(
+            e.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id"
+        )
+        for i in range(3)
+    ]
+    merged = incremental.finalize_hll_state(
+        incremental.merge_hll_states(*days)
+    )
+    direct = incremental.finalize_hll_state(
+        incremental.hll_state(e, ["event_type"], "user_id")
+    ).withColumnRenamed("approx_distinct", "direct_distinct")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = merged.join(direct, "event_type").collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        ex = exact[r["event_type"]]
+        assert abs(r["approx_distinct"] - r["direct_distinct"]) <= 0.05 * ex
+        assert abs(r["approx_distinct"] - ex) <= 0.10 * ex
+        assert abs(r["direct_distinct"] - ex) <= 0.10 * ex
 
 
 def test_countmin_overestimates_within_bound(spark, sf_dir):
