@@ -180,6 +180,135 @@ def assign_clusters_batched(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _coarse_quantize_centroids(
+    cent, n_coarse: int, n_iter: int = 5
+):
+    """Driver-side numpy Lloyd's over the FINE CENTROID SET (k x dim —
+    bounded, never the corpus): returns (coarse (n_coarse x dim) array,
+    members list mapping each coarse cell -> sorted fine-centroid
+    indices).  Deterministic: strided seeds, first-min assignment, empty
+    cells keep their previous centroid — same rules as ``kmeans_fit``."""
+    import numpy as np
+
+    k = cent.shape[0]
+    stride = max(1, k // n_coarse)
+    coarse = cent[::stride][:n_coarse].copy()
+    n_coarse = coarse.shape[0]
+    for _ in range(n_iter):
+        d2 = ((cent[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        owner = d2.argmin(axis=1)
+        for c in range(n_coarse):
+            mask = owner == c
+            if mask.any():
+                coarse[c] = cent[mask].mean(axis=0)
+    d2 = ((cent[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    owner = d2.argmin(axis=1)
+    members = [
+        sorted(int(i) for i in (owner == c).nonzero()[0])
+        for c in range(n_coarse)
+    ]
+    return coarse, members
+
+
+def assign_clusters_hierarchical(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    probes: int | None = None,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """``assign_clusters`` shape for VERY large ``k`` via two-level
+    (IVF-style) assignment: quantize the k fine centroids into
+    ~sqrt(k) coarse cells (driver-side numpy over the k x dim centroid
+    set — bounded, never the corpus), then per row (1) rank the coarse
+    cells, (2) take the fine centroids owned by the ``probes`` nearest
+    cells as candidates, (3) exact argmin squared-L2 over the candidates
+    with the same lowest-index tie rule and the same scalar-sequential
+    float64 accumulation order as the flat kernels.
+
+    WHY this exists (the latent super-linear term the flat paths hide):
+    SemDeDup wants constant cluster SIZE, so k grows with the corpus
+    (k ~ N/125 here) — which makes flat assignment N x k x dim, i.e.
+    ~N^2 * dim / 125.  Two measured decades (docs/SCALING_SF10.md) don't
+    expose it because the constant is tiny at 64 dims, but at another
+    2-3 decades the assignment would dominate everything.  Two-level
+    assignment is N x (sqrt(k) + probes * k / sqrt(k)) x dim — the same
+    rewrite IVF applies to serving, applied to index construction.
+
+    Contract: APPROXIMATE for probes < n_coarse (a row whose true
+    nearest fine centroid lives outside its probed cells gets its best
+    candidate instead — the standard IVF trade; SemDeDup itself is an
+    approximation, and a rare misassignment can only make it miss a
+    near-dup pair, never invent one).  For probes >= n_coarse the
+    candidate set is every fine centroid and the output is BIT-IDENTICAL
+    to ``assign_clusters_batched`` (pinned in tests/test_curation_ops.py
+    along with a >=98%-agreement bound at probes=8)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k = cent.shape[0]
+    if n_coarse is None:
+        n_coarse = max(1, int(np.ceil(np.sqrt(k))))
+    if probes is None:
+        probes = 8
+    coarse, members = _coarse_quantize_centroids(cent, n_coarse)
+    n_coarse = coarse.shape[0]
+    probes = min(probes, n_coarse)
+    member_arrs = [np.asarray(m, dtype=np.int64) for m in members]
+    cols = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+
+    def _fold_d2(v, c):
+        """(n x dim, m x dim) -> (n x m) squared-L2 with the flat
+        kernels' exact accumulation order: scalar-sequential across the
+        dim index, one fused subtract/square/add per step."""
+        acc = np.zeros((v.shape[0], c.shape[0]), dtype=np.float64)
+        for i in range(c.shape[1]):
+            d = v[:, i, None] - c[None, :, i]
+            acc += d * d
+        return acc
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )  # (n, dim)
+            n = v.shape[0]
+            cd = _fold_d2(v, coarse)  # (n, n_coarse)
+            # stable top-p cells: full argsort is fine at sqrt(k) cells
+            probe_cells = np.argsort(cd, axis=1, kind="stable")[:, :probes]
+            best_d = np.full(n, np.inf)
+            best_i = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            for j in range(probes):
+                cells_j = probe_cells[:, j]
+                for c in np.unique(cells_j):
+                    m = member_arrs[c]
+                    if m.size == 0:
+                        continue
+                    rows = (cells_j == c).nonzero()[0]
+                    d2 = _fold_d2(v[rows], cent[m])  # (|rows|, |m|)
+                    loc = d2.argmin(axis=1)  # first min = lowest index
+                    dloc = d2[np.arange(rows.size), loc]
+                    iloc = m[loc]
+                    upd = (dloc < best_d[rows]) | (
+                        (dloc == best_d[rows]) & (iloc < best_i[rows])
+                    )
+                    r = rows[upd]
+                    best_d[r] = dloc[upd]
+                    best_i[r] = iloc[upd]
+            pdf = pdf[cols].copy()
+            pdf["cluster"] = best_i.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -860,6 +860,14 @@ def dedup_survivors(
     )
 
 
+#: fine-centroid count past which ``semantic_dedup`` switches from flat
+#: N x k x dim assignment to the two-level IVF-style kernel.  2048 keeps
+#: every driver / committed-fixture scale on the bit-exact flat path
+#: (k = clamp(N/125, 16, N): sf0.01 -> 16, sf0.1 -> 40, sf1 -> 400) and
+#: moves sf10 (k = 4000) and beyond onto the scale path.
+_HIERARCHICAL_K = 2048
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -903,7 +911,23 @@ def semantic_dedup(
             import pandas  # noqa: F401
             import pyarrow  # noqa: F401
 
-            assigned = clustering.assign_clusters_batched(base, "v", centroids)
+            if len(centroids) > _HIERARCHICAL_K:
+                # flat assignment is N x k x dim and SemDeDup's k grows
+                # with the corpus (constant cluster size), so past this
+                # point the assignment term is the pipeline's one latent
+                # super-linear cost — switch to the two-level IVF-style
+                # kernel: N x (sqrt(k) + probes * sqrt(k)) x dim.
+                # Approximate in the standard IVF sense (a rare
+                # misassignment can only MISS a near-dup pair); the flat
+                # kernel stays the bit-exact oracle-checked path at
+                # every driver/fixture scale below the threshold.
+                assigned = clustering.assign_clusters_hierarchical(
+                    base, "v", centroids
+                )
+            else:
+                assigned = clustering.assign_clusters_batched(
+                    base, "v", centroids
+                )
         except ImportError:
             assigned = clustering.assign_clusters_join(
                 base, "v", centroids, "id"

@@ -671,3 +671,115 @@ def test_assign_clusters_batched_matches_jvm_paths(spark, sf_dir):
     )
     assert lit_path.exceptAll(batched).count() == 0
     assert batched.exceptAll(lit_path).count() == 0
+
+
+def test_assign_clusters_hierarchical_exact_at_full_probes(spark, sf_dir):
+    """The two-level IVF-style assignment (semantic_dedup's
+    k > _HIERARCHICAL_K scale path) with probes >= n_coarse sees every
+    fine centroid as a candidate, and the per-candidate fold uses the
+    flat kernel's exact accumulation order + lowest-index tie rule — so
+    the output must be BIT-IDENTICAL to the flat batched kernel."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+    ]
+    flat = clustering.assign_clusters_batched(emb, "v", seeds).select(
+        "vec_id", "cluster"
+    )
+    hier = clustering.assign_clusters_hierarchical(
+        emb, "v", seeds, probes=8, n_coarse=8  # probes == n_coarse: exact
+    ).select("vec_id", "cluster")
+    assert flat.exceptAll(hier).count() == 0
+    assert hier.exceptAll(flat).count() == 0
+
+
+def test_assign_clusters_hierarchical_agreement_at_default_probes(
+    spark, sf_dir
+):
+    """At probes < n_coarse the assignment is approximate (the standard
+    IVF trade).  The fixture embeddings are uniform-random — the
+    ADVERSARIAL case for cell probing, since with no cluster structure
+    neighboring coarse cells are nearly equidistant — and even there
+    probes=8-of-16 must agree with the exact flat assignment on >=90% of
+    rows (measured 93.8%; real embedding corpora cluster and do far
+    better).  Assignment agreement is NOT the metric SemDeDup rests on —
+    near-dup PAIR recall is, pinned by
+    test_semantic_dedup_dispatches_to_hierarchical_past_threshold: the
+    members of a near-dup pair are near-identical vectors, probe the
+    same cells, and land in the SAME cluster even when that cluster
+    differs from the flat argmin."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 64).orderBy("vec_id").collect()
+    ]
+    flat = clustering.assign_clusters_batched(emb, "v", seeds).select(
+        "vec_id", F.col("cluster").alias("c_flat")
+    )
+    hier = clustering.assign_clusters_hierarchical(
+        emb, "v", seeds, probes=8, n_coarse=16
+    ).select("vec_id", F.col("cluster").alias("c_hier"))
+    both = flat.join(hier, "vec_id")
+    n = both.count()
+    agree = both.filter(F.col("c_flat") == F.col("c_hier")).count()
+    assert n > 0
+    assert agree / n >= 0.90, f"agreement {agree}/{n}"
+
+
+def test_semantic_dedup_dispatches_to_hierarchical_past_threshold(
+    spark, sf_dir, monkeypatch
+):
+    """Past _HIERARCHICAL_K centroids semantic_dedup must take the
+    two-level kernel (the N x k x dim flat assignment is the pipeline's
+    one latent super-linear term when k grows with the corpus), keep the
+    contract shape (surviving (id, cluster) rows, a subset of the input
+    ids), and — the property approximate assignment must NOT break —
+    catch every injected exact duplicate: identical vectors probe the
+    same cells, land in the same cluster, and the higher id loses."""
+    from etl_for_ecol_fusion_database_spark.operators import (
+        clustering,
+        dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dup_src = emb.filter(F.col("vec_id") < 5)
+    dups = dup_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    with_dups = emb.unionByName(dups)
+    seeds = [
+        [float(x) for x in r.v]
+        for r in emb.filter(F.col("vec_id") < 40).orderBy("vec_id").collect()
+    ]
+    calls = {"hier": 0}
+    real = clustering.assign_clusters_hierarchical
+
+    def spy(*a, **kw):
+        calls["hier"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(clustering, "assign_clusters_hierarchical", spy)
+    monkeypatch.setattr(dedup, "_HIERARCHICAL_K", 32)
+    out = dedup.semantic_dedup(with_dups, seeds, id_col="vec_id", vec_col="v")
+    rows = out.collect()
+    assert calls["hier"] == 1
+    assert set(out.columns) == {"id", "cluster"}
+    ids = {r["id"] for r in rows}
+    all_ids = {r["vec_id"] for r in with_dups.select("vec_id").collect()}
+    assert ids <= all_ids and len(ids) > 0
+    # pair recall under approximate assignment: every injected duplicate
+    # (cosine exactly 1.0 with its source) must be discarded
+    assert not any(i >= 1_000_000 for i in ids), sorted(
+        i for i in ids if i >= 1_000_000
+    )
