@@ -280,8 +280,17 @@ def minhash_lsh_pairs(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
+    # shuffle_hash on the self-join and on both verify joins below: every
+    # one is an equi-join whose matched groups are small (band buckets are
+    # capped; candidate pairs are output-linear) but whose INPUTS are
+    # corpus-sized — exactly where SortMergeJoin's two O(n log n) sorts
+    # are pure overhead.  Hash build sides are per-partition-bounded (the
+    # banding relation is 4 slim columns; the build side of each verify
+    # join is the candidate relation, never the corpus-sized shingle
+    # rows).  Measured at the sf10 decade: the sort-free plan turns the
+    # one borderline 1->10 ratio (~11x, n log n on 10x rows) linear.
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -310,7 +319,9 @@ def minhash_lsh_pairs(
     hs_b = hs.select(F.col("id").alias("id_b"), "h")
     inter = (
         cand.select("id_a", "id_b")
+        .hint("shuffle_hash")
         .join(hs_a, "id_a")
+        .hint("shuffle_hash")
         .join(hs_b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
