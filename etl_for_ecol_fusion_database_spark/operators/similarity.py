@@ -378,7 +378,14 @@ def knn_join(
         if corpus_count is None:
             corpus_count = base.select("id").count()
         n_bits = derive_n_bits(corpus_count, target_bucket_rows=target_bucket_rows)
-    sigs = signature_fn(base, n_bits=n_bits, seed=seed)
+    # shuffle_hash on both corpus-sized equi-joins (here and the bucket
+    # self-join below): SortMergeJoin would sort 64-dim-wide rows twice
+    # per join, and every matched group is small (one row per id here;
+    # ~target_bucket_rows per bucket below) — the same sort-free rewrite
+    # measured 3.7x on the MinHash band join at the sf10 decade.  Build
+    # sides are the narrow (id, bucket) signature relation and one
+    # bucket-partition of the corpus — both per-partition-bounded.
+    sigs = signature_fn(base, n_bits=n_bits, seed=seed).hint("shuffle_hash")
     sided = with_norm(base, "v").join(sigs, "id")
     a = sided.select(
         F.col("id").alias("q_id"),
@@ -394,7 +401,7 @@ def knn_join(
     )
     sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
     scored = (
-        a.join(b, on="bucket")
+        a.join(b.hint("shuffle_hash"), on="bucket")
         .filter(F.col("q_id") != F.col("cand_id"))
         .select("q_id", "cand_id", sim.alias("cosine"))
     )
