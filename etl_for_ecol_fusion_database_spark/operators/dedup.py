@@ -549,7 +549,11 @@ def simhash_near_pairs(
         ).alias("blk"),
     ).select("id", "simhash", "blk.block_idx", "blk.block_val")
     a = blocks.alias("a")
-    b = blocks.alias("b")
+    # shuffle_hash: 16-bit block buckets hold ~n/65536 rows each (small
+    # matched groups) while the inputs are corpus-sized — SortMergeJoin
+    # would sort the 4n-row block relation twice for nothing (the same
+    # sort-free rewrite measured 3.7x on the MinHash band join at sf10)
+    b = blocks.hint("shuffle_hash").alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
