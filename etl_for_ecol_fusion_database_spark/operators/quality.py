@@ -60,12 +60,18 @@ def referential_check(
 
     Pass ``broadcast_parent=False`` when the parent is fact-sized —
     the default broadcast hint is only safe for dimension tables (a forced
-    broadcast of a large parent would OOM executors); without the hint the
-    anti-join falls back to a shuffled hash join on the key.  Output schema
-    matches ``column_expectations`` so reports union."""
+    broadcast of a large parent would OOM executors).  Without it the
+    anti-join runs as a SHUFFLED HASH join on the key (hinted explicitly:
+    parent keys are near-unique, so matched groups are ~1 row while both
+    inputs are fact-sized — SortMergeJoin would sort both for nothing,
+    the same shape the round-9 sf10 decade measured 3.7x on the MinHash
+    band join).  Output schema matches ``column_expectations`` so reports
+    union."""
     parent_keys = parent.select(*on).dropDuplicates()
     if broadcast_parent:
         parent_keys = F.broadcast(parent_keys)
+    else:
+        parent_keys = parent_keys.hint("shuffle_hash")
     orphans = child.join(parent_keys, on=on, how="left_anti")
     n_child = child.count()
     return orphans.agg(

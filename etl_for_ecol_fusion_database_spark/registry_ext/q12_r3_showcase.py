@@ -762,8 +762,9 @@ def x12_data_quality(spark, sf_dir):
     lakehouse answer to the reference's DB-enforced constraints
     (ingest_ecollision_oracle_data.py:29-41) — NOT NULL, range, enum, and
     cross-column checks as conditional SUMs in ONE scan, plus PK
-    uniqueness (one key groupBy) and FK orphan detection (broadcast
-    left-anti join).  All counts value-checked against DuckDB."""
+    uniqueness (one key groupBy) and FK orphan detection (shuffled-hash
+    left-anti join — orders is fact-sized, so the broadcast default is
+    explicitly declined).  All counts value-checked against DuckDB."""
     from ..operators import quality
 
     li = _t(spark, sf_dir, "lineitem")
@@ -788,6 +789,12 @@ def x12_data_quality(spark, sf_dir):
         od.select(F.col("o_orderkey").alias("l_orderkey")),
         ["l_orderkey"],
         name="fk_lineitem_orders",
+        # orders is FACT-sized: the default forced broadcast of the
+        # parent keys is the operator's own documented OOM hazard at
+        # scale (15M keys at sf10, unbounded at 100 TB).  False routes
+        # the anti-join through the hinted shuffled-hash path instead —
+        # caught by the round-9 sf10 decade audit.
+        broadcast_parent=False,
     )
     # referential/uniqueness n_checked = lineitem count on both sides
     return col_checks.unionByName(pk).unionByName(fk)

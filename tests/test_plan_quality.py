@@ -542,3 +542,39 @@ def test_table_row_count_skips_hidden_and_staging_files(tmp_path):
     staging.mkdir()
     shutil.copy(tdir / "part-0.parquet", staging / "part-2.parquet")
     assert table_row_count(str(tmp_path), "t") == 7
+
+
+def test_sort_free_banded_joins(spark, sf_dir):
+    """Round-9 rewrite pin: every banded/bucketed/blocked self-join and
+    big-meets-small-candidate verify join runs as a sort-free
+    ShuffledHashJoin — small matched groups (capped band buckets,
+    ~target_bucket_rows per hyperplane bucket, 16-bit simhash blocks,
+    near-unique FK keys) never justify SortMergeJoin's O(n log n) sorts
+    of corpus-sized inputs.  Measured at the sf10 decade: 3.7x on the
+    MinHash band join; a Spark upgrade or refactor that silently reverts
+    any of these to SMJ fails here."""
+    # minimum hinted-SHJ count per query; SMJ is allowed ONLY on
+    # candidate-sized relations (minhash's final cand-joins-inter left
+    # join), never on a corpus-sized input — pinned via the SHJ floor
+    for name, min_shj, max_smj in (
+        ("x1_minhash_near_dup", 3, 1),
+        ("x2_knn_join", 2, 0),
+        ("x1_simhash_near_pairs", 1, 0),
+    ):
+        plan = _final_plan(registry.QUERIES[name](spark, sf_dir))
+        n_shj = plan.count("ShuffledHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        assert n_shj >= min_shj, f"{name}: hint lost ({n_shj} SHJ)\n{plan[:500]}"
+        assert n_smj <= max_smj, f"{name}: SMJ crept back ({n_smj})"
+
+
+def test_data_quality_fk_check_never_broadcasts_fact_parent(spark, sf_dir):
+    """Round-9 sf10 audit: x12_data_quality's FK orphan check joins
+    lineitem against ORDERS keys — a fact-sized parent whose forced
+    broadcast is the referential_check docstring's own documented OOM
+    hazard at scale.  Pin the declined broadcast: the anti-join must be
+    the hinted shuffled-hash path, with no forced-broadcast of the
+    parent keys and no sort."""
+    plan = _final_plan(registry.QUERIES["x12_data_quality"](spark, sf_dir))
+    assert re.search(r"ShuffledHashJoin .*LeftAnti", plan), plan[:600]
+    assert "SortMergeJoin" not in plan
