@@ -302,6 +302,17 @@ def assign_clusters_hierarchical(
                     r = rows[upd]
                     best_d[r] = dloc[upd]
                     best_i[r] = iloc[upd]
+            # Lloyd's can leave a coarse cell with zero fine members, so a
+            # row whose probed cells are ALL empty would still hold the
+            # int64-max sentinel here — and astype('int32') would wrap it
+            # to a garbage cluster id.  Resolve such rows by exact argmin
+            # over every fine centroid (same tie rule / accumulation
+            # order); bounded, since it only runs for the pathological
+            # all-probed-cells-empty rows.
+            unresolved = (best_i == np.iinfo(np.int64).max).nonzero()[0]
+            if unresolved.size:
+                d2 = _fold_d2(v[unresolved], cent)
+                best_i[unresolved] = d2.argmin(axis=1)
             pdf = pdf[cols].copy()
             pdf["cluster"] = best_i.astype("int32")
             yield pdf

@@ -284,11 +284,11 @@ def minhash_lsh_pairs(
     # one is an equi-join whose matched groups are small (band buckets are
     # capped; candidate pairs are output-linear) but whose INPUTS are
     # corpus-sized — exactly where SortMergeJoin's two O(n log n) sorts
-    # are pure overhead.  Hash build sides are per-partition-bounded (the
-    # banding relation is 4 slim columns; the build side of each verify
-    # join is the candidate relation, never the corpus-sized shingle
-    # rows).  Measured at the sf10 decade: the sort-free plan turns the
-    # one borderline 1->10 ratio (~11x, n log n on 10x rows) linear.
+    # are pure overhead.  Hash build sides are per-partition-bounded: the
+    # banding relation is 4 slim columns, and the verify joins below pin
+    # their own build sides explicitly (see the comment there).  Measured
+    # at the sf10 decade: the sort-free plan turns the one borderline
+    # 1->10 ratio (~11x, n log n on 10x rows) linear.
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")
     cand = (
@@ -317,12 +317,19 @@ def minhash_lsh_pairs(
     hs = pairs.select("id", "h")
     hs_a = hs.select(F.col("id").alias("id_a"), "h")
     hs_b = hs.select(F.col("id").alias("id_b"), "h")
+    # Build sides made explicit per join (a hint marks ITS OWN relation as
+    # the preferred hash build side; a hint after a join would mark the
+    # joined subtree, i.e. the pairs-exploded-by-shingles relation — an
+    # output-dependent size that can spike under banding skew):
+    #   join 1: build = the slim candidate-id relation (2 long columns,
+    #           output-linear rows), probe = corpus shingles;
+    #   join 2: build = hs_b, whose per-partition size after the
+    #           (id_b, h) shuffle is corpus_shingles / P — the standard
+    #           SHJ bound, and skew-free because h is ~unique per doc so
+    #           the composite key has no hot values.
     inter = (
-        cand.select("id_a", "id_b")
-        .hint("shuffle_hash")
-        .join(hs_a, "id_a")
-        .hint("shuffle_hash")
-        .join(hs_b, ["id_b", "h"])
+        hs_a.join(cand.select("id_a", "id_b").hint("shuffle_hash"), "id_a")
+        .join(hs_b.hint("shuffle_hash"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

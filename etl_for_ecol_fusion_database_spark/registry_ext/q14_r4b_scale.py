@@ -1791,3 +1791,55 @@ def j10_abandoned_views(spark, sf_dir):
         "user_id",
         F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
     )
+
+
+@query(
+    "x8_hier_assign",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16
+),
+d AS (
+    SELECT e.vec_id, cent.c_id,
+           list_sum([(e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])
+                     for i in generate_series(1, len(e.v))]) AS dist
+    FROM e CROSS JOIN cent
+),
+ranked AS (
+    SELECT vec_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, c_id ASC) AS rn
+    FROM d
+)
+SELECT vec_id, CAST(c_id AS INT) AS cluster
+FROM ranked WHERE rn = 1
+""",
+)
+def x8_hier_assign(spark, sf_dir):
+    """X8 two-level (IVF-style) assignment, oracle-checked end to end
+    (VERDICT r09 item #7): same pinned-centroid semantics as
+    x8_kmeans_assign but with 16 fine centroids routed through
+    ``assign_clusters_hierarchical`` — coarse quantization of the
+    centroid set, per-row cell probing, per-cell candidate folds, and
+    the empty-cell exact fallback all execute, with probes == n_coarse
+    pinned so the candidate set covers every fine centroid and the
+    output is BIT-IDENTICAL to the flat argmin the DuckDB oracle
+    computes (same sequential float64 fold, same lowest-index tie
+    rule).  This is the scale path SemDeDup dispatches to past
+    k=2048 (flat assignment is N x k x dim with k ~ N/125, i.e.
+    latent-quadratic; two-level is N x (sqrt(k) + probes*sqrt(k)) x
+    dim), exercised here at sf0.01 by parameter override so the
+    kernel itself — not just its dispatch — carries a driver hash
+    row."""
+    from ..operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [v for _, v in _embedding_head(spark, sf_dir, 16)]
+    return clustering.assign_clusters_hierarchical(
+        emb, "v", seeds, probes=4, n_coarse=4
+    ).select("vec_id", "cluster")

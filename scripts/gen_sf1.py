@@ -21,10 +21,12 @@ flat).  Each replica r in 1..9 gets:
   (translate), keeping lengths, whitespace structure, and char-class
   mix identical while making shingles/vocabulary distinct per replica
   (10x distinct content, not 10 copies);
-- ``embeddings.embedding`` regenerated as hash-derived uniforms in the
-  original value range [-0.5, 0.5] — distinct vectors that spread over
-  IVF cells and LSH buckets instead of stacking into degenerate
-  near-dup chains;
+- ``embeddings.embedding`` regenerated as replica-seeded ORTHOGONAL
+  ROTATIONS of the source vectors (structure-preserving: norms,
+  within-replica distances, cluster/near-dup density all scale 1:1
+  with the corpus; cross-replica orientation random so no degenerate
+  near-dup chains are invented — see scripts/_embed_replicas.py,
+  ADVICE r09);
 - dimensions (region, nation) shared, as at any scale.
 
 Usage: python scripts/gen_sf1.py   (writes .scaling/sf1/*.parquet)
@@ -34,8 +36,12 @@ from __future__ import annotations
 
 import os
 import string
+import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _embed_replicas import write_embedding_replicas  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -100,16 +106,6 @@ def _replica_select(table: str, r: int) -> str:
             f"translate(text, '{lower}{upper}', '{rot_l}{rot_u}') AS text, "
             "lang, source, n_chars FROM src"
         )
-    if table == "embeddings":
-        # distinct hash-derived uniforms in the source value range;
-        # label kept so class-balance shapes survive
-        return (
-            f"SELECT vec_id + {off} AS vec_id, "
-            f"[CAST((hash(vec_id * 64 + i + {r} * 1000003) % 1000003) "
-            " / 1000003.0 - 0.5 AS FLOAT) "
-            " for i in generate_series(1, 64)] AS embedding, "
-            "label FROM src"
-        )
     raise ValueError(table)
 
 
@@ -121,6 +117,15 @@ def main() -> None:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     for t in tables:
+        dst_t = os.path.join(OUT, f"{t}.parquet")
+        if t == "embeddings":
+            # structure-preserving rotated replicas (ADVICE r09), not
+            # hash noise — see scripts/_embed_replicas.py
+            n = write_embedding_replicas(
+                f"{SRC}/{t}.parquet", dst_t, N_REPLICAS, OFF
+            )
+            print(f"{t}: {n} rows -> {dst_t}", flush=True)
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'"
         )

@@ -18,7 +18,10 @@ exactly like a rotation while giving every replica distinct shingles
 and vocabulary.  Keys offset by r * 10_000_000 in lockstep across fact
 tables (join integrity and fan-outs preserved), supplier names
 regenerated from the offset key in TPC-H's own format, embeddings
-regenerated as replica-seeded hash uniforms in the source value range.
+regenerated as replica-seeded ORTHOGONAL ROTATIONS of the source
+vectors (structure-preserving — norms, within-replica distances, and
+cluster/near-dup density scale 1:1 with the corpus; see
+scripts/_embed_replicas.py, ADVICE r09).
 
 Usage: python scripts/gen_sf10.py   (writes .scaling/sf10/*.parquet)
 """
@@ -27,8 +30,12 @@ from __future__ import annotations
 
 import os
 import string
+import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _embed_replicas import write_embedding_replicas  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -100,14 +107,6 @@ def _replica_select(table: str, r: int) -> str | None:
             f"translate(text, '{lower}{upper}', '{p}{pu}') AS text, "
             "lang, source, n_chars FROM src"
         )
-    if table == "embeddings":
-        return (
-            f"SELECT vec_id + {off} AS vec_id, "
-            f"[CAST((hash(vec_id * 64 + i + {r} * 1000003) % 1000003) "
-            " / 1000003.0 - 0.5 AS FLOAT) "
-            " for i in generate_series(1, 64)] AS embedding, "
-            "label FROM src"
-        )
     raise ValueError(table)
 
 
@@ -121,6 +120,15 @@ def main() -> None:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     for t in tables:
+        dst_t = os.path.join(OUT, f"{t}.parquet")
+        if t == "embeddings":
+            # structure-preserving rotated replicas (ADVICE r09), not
+            # hash noise — see scripts/_embed_replicas.py
+            n = write_embedding_replicas(
+                f"{SRC}/{t}.parquet", dst_t, N_REPLICAS, OFF
+            )
+            print(f"{t}: {n} rows -> {dst_t}", flush=True)
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{t}.parquet'"
         )

@@ -36,7 +36,16 @@ Rules applied:
   queries as witnessed;
 - names no longer registered are pruned.
 
-Usage:  python scripts/update_witness_fp.py [--bootstrap]
+- ``--no-sheet`` skips the newest-sheet refresh pass.  REQUIRED for any
+  MID-ROUND run (round 10 lesson): the newest sheet witnessed the tree
+  as it was when the driver froze it, so once any query has been edited
+  this round, the default refresh would re-anchor the edited names'
+  fingerprints against rows that witnessed the OLD code — silently
+  un-staling them.  Mid-round, combine with --accept-verified (whose
+  per-entry fingerprint guard makes it edit-safe) to record evidence
+  for newly registered queries.
+
+Usage:  python scripts/update_witness_fp.py [--bootstrap] [--no-sheet]
                                             [--accept-verified PATH]
 """
 
@@ -77,14 +86,15 @@ def main() -> None:
     recorded = witness.recorded_fingerprints()
 
     newest = sheets[-1]
-    with open(newest) as fh:
-        newest_sheet = json.load(fh)
     refreshed = []
-    for name, rec in newest_sheet.items():
-        if name in current and _satisfactory(rec, name):
-            if recorded.get(name) != current[name]:
-                refreshed.append(name)
-            recorded[name] = current[name]
+    if "--no-sheet" not in sys.argv[1:]:
+        with open(newest) as fh:
+            newest_sheet = json.load(fh)
+        for name, rec in newest_sheet.items():
+            if name in current and _satisfactory(rec, name):
+                if recorded.get(name) != current[name]:
+                    refreshed.append(name)
+                recorded[name] = current[name]
 
     accepted = []
     rejected = []

@@ -83,10 +83,26 @@ def _git_provenance() -> dict:
             ["git", "rev-parse", "HEAD"], cwd="/root/repo",
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
-        out["git_dirty"] = bool(subprocess.run(
+        porcelain = subprocess.run(
             ["git", "status", "--porcelain"], cwd="/root/repo",
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip())
+        ).stdout
+        out["git_dirty"] = bool(porcelain.strip())
+        if porcelain.strip():
+            # VERDICT r09 item #5: a dirty-tree artifact must say WHICH
+            # paths were in flight so the audit chain can judge whether
+            # they could have touched the measured code.  Porcelain lines
+            # are "XY path" (2-char status, space, path) — do NOT strip
+            # the full output first, the leading status char of the first
+            # line is significant.
+            out["git_dirty_paths"] = sorted(
+                line[3:] for line in porcelain.splitlines() if line.strip()
+            )
+            print(
+                "WARNING: dirty tree — results carry git_dirty_paths: "
+                + ", ".join(out["git_dirty_paths"]),
+                flush=True,
+            )
     except Exception:
         pass
     return out

@@ -735,6 +735,43 @@ def test_assign_clusters_hierarchical_agreement_at_default_probes(
     assert agree / n >= 0.90, f"agreement {agree}/{n}"
 
 
+def test_assign_clusters_hierarchical_all_empty_probes_falls_back(
+    spark, monkeypatch
+):
+    """Lloyd's empty-cell rule can leave a coarse cell with zero fine
+    members; a row whose probed cells are ALL empty must resolve by exact
+    argmin over every fine centroid — not leak the int64-max sentinel
+    through the int32 cast as a garbage cluster id (ADVICE r09).  Forced
+    deterministically: coarse cell 0 is a far-away empty cell, the probe
+    row sits on it, probes=1."""
+    import numpy as np
+
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    def fake_quantize(cent, n_coarse, n_iter=5):
+        coarse = np.array(
+            [[100.0, 100.0], [0.0, 0.0], [10.0, 10.0]], dtype=np.float64
+        )
+        return coarse, [[], [0], [1]]
+
+    monkeypatch.setattr(
+        clustering, "_coarse_quantize_centroids", fake_quantize
+    )
+    df = spark.createDataFrame(
+        [(1, [100.0, 100.0]), (2, [0.1, 0.1])], ["vec_id", "v"]
+    )
+    out = {
+        r.vec_id: r.cluster
+        for r in clustering.assign_clusters_hierarchical(
+            df, "v", [[0.0, 0.0], [10.0, 10.0]], probes=1, n_coarse=3
+        ).collect()
+    }
+    # row 1 probed only the empty cell -> exact fallback: nearest fine
+    # centroid to (100,100) is index 1; row 2 resolved normally to 0
+    assert out == {1: 1, 2: 0}
+    assert all(c >= 0 for c in out.values())
+
+
 def test_semantic_dedup_dispatches_to_hierarchical_past_threshold(
     spark, sf_dir, monkeypatch
 ):
