@@ -195,7 +195,8 @@ def portable_hyperplane_signatures_df(
     seed: int = 42,
 ) -> DataFrame:
     """``hyperplane_signatures_df`` with integer-valued plane components
-    p(bit, i) = (((bit*2654435761 + i*40503 + 13 + seed) % 1000003) % 7) - 3
+    p(bit, i) = ((x*x % P + x*48271) % P) % 7 - 3 with
+    x = (bit*1000003 + i*8191 + 17 + seed) % P, P = 2147483647,
     and SEQUENTIAL double folds for the projections — both choices trade
     throughput for bit-identical cross-engine arithmetic (same trick as
     the oracle-checked k-means assignment), so a DuckDB oracle can replay
@@ -203,22 +204,31 @@ def portable_hyperplane_signatures_df(
     stays the production configuration (codegen aggregation, richer
     planes).
 
-    The Knuth-multiplier family (same as the JL projection planes) is
-    deliberate: the earlier ``(bit*37 + i*101 + c) % 7`` form had PERIOD 7
-    in ``bit`` (37 ≡ 2 mod 7), so only 7 distinct planes existed and any
-    ``n_bits > 7`` silently duplicated signature bits — effective buckets
-    capped at 2^7 while derive_n_bits budgeted for 2^bits, re-opening the
-    quadratic pair volume at corpus scale (24 distinct balanced planes
-    verified for bits 0..23 with this family)."""
+    The QUADRATIC mix (x*x term) is load-bearing (round 10): any affine
+    family ``(bit*A + i*B + c) % M % 7`` makes consecutive planes differ
+    by a CONSTANT per-dim pattern, i.e. strongly correlated sign bits —
+    invisible at 6 bits, but at the derived 13 bits of a 200k corpus the
+    correlated-bit bucket skew measured 694 max occupancy / 149
+    candidate pairs per vector where ~24/32 was budgeted (sf10 decade
+    ratio 13.8x on the structure-preserving fixture).  Squaring mod a
+    prime breaks the lattice: same corpus measures 141 max / 34.7
+    pairs-per-vector, flat across sf0.1 -> sf1 -> sf10 (34.0 / 24.5 /
+    34.7) — and the earlier round-6 lesson still holds, the family must
+    have full period in ``bit`` (24 distinct balanced planes verified
+    for bits 0..23; the pre-round-6 ``(bit*37 + i*101 + c) % 7`` form
+    had period 7, capping effective buckets at 2^7).  All intermediates
+    stay under 2^63 (x < 2^31 so x*x < 2^62): safe under ANSI BIGINT in
+    both engines."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
+        x = f"(({b}L * 1000003 + i * 8191 + 17 + {seed}) % 2147483647)"
         arr = F.expr(
             f"transform(sequence(0, size(_v) - 1),"
-            f" i -> _v[i] * CAST(((({b} % 2147483647) * 2654435761 + i * 40503"
-            f" + 13 + {seed}) % 1000003) % 7 - 3 AS DOUBLE))"
+            f" i -> _v[i] * CAST(((({x} * {x}) % 2147483647"
+            f" + {x} * 48271) % 2147483647) % 7 - 3 AS DOUBLE))"
         )
         dot = F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
         sig = sig.bitwiseOR(

@@ -217,14 +217,22 @@ def f9_levenshtein_match(spark, sf_dir):
     tightened <=1 threshold keeps the levenshtein filter genuinely
     selective (~19% of in-block pairs) instead of decorative.
     ``levenshtein`` is a JVM built-in (codegen), evaluated only on
-    in-block pairs."""
+    in-block pairs.
+
+    Round 10: ``shuffle_hash`` on the self-join — same sort-free rewrite
+    as the MinHash band joins (operators/dedup.py): corpus-sized inputs,
+    bounded matched groups (<= 100/block), so SortMergeJoin's two
+    O(n log n) sorts are pure overhead; the hash build side is one
+    blk-partition of the (3-column) supplier relation.  The sf10 panel
+    measured this query at 9.9x/decade with EXACTLY-linear candidates
+    (100 pairs/row at every SF) — the excess was the sorts."""
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
         F.expr("left(s_name, length(s_name) - 2)").alias("blk"),
     )
     a = s.alias("a")
-    b = s.alias("b")
+    b = s.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

@@ -123,9 +123,13 @@ e AS (
 sig AS (
     SELECT vec_id,
            CAST(list_sum([CASE WHEN
-                    list_sum([v[i] * ((((b % 2147483647) * 2654435761
-                                        + (i - 1) * 40503 + 13 + 42)
-                                       % 1000003) % 7 - 3)
+                    list_sum([v[i] * ((((((b * 1000003 + (i - 1) * 8191 + 59)
+                                          % 2147483647)
+                                         * ((b * 1000003 + (i - 1) * 8191 + 59)
+                                            % 2147483647)) % 2147483647
+                                       + ((b * 1000003 + (i - 1) * 8191 + 59)
+                                          % 2147483647) * 48271)
+                                      % 2147483647) % 7 - 3)
                               for i in generate_series(1, len(v))]) > 0
                     THEN CAST(power(2, b) AS BIGINT) ELSE 0 END
                  for b in generate_series(0, p.nb - 1)]) AS BIGINT) AS bucket

@@ -560,6 +560,10 @@ def test_sort_free_banded_joins(spark, sf_dir):
         ("x1_minhash_near_dup", 3, 1),
         ("x2_knn_join", 2, 0),
         ("x1_simhash_near_pairs", 1, 0),
+        # round 10: prefix-blocked levenshtein self-join (blocks <= 100
+        # rows; candidates exactly 100/row at every SF — the 9.9x sf10
+        # decade ratio was the two corpus sorts)
+        ("f9_levenshtein_match", 1, 0),
     ):
         plan = _final_plan(registry.QUERIES[name](spark, sf_dir))
         n_shj = plan.count("ShuffledHashJoin")

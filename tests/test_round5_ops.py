@@ -94,6 +94,47 @@ def test_knn_join_candidate_pairs_bounded_linearly(spark):
         assert max_bucket <= 8 * 32, (sf_dir, n, bits, max_bucket)
 
 
+def test_portable_planes_decorrelated_at_wide_bit_widths(spark):
+    """Round-10 regression pin: the fixture-based linearity test above
+    tops out at sf0.1 (6 derived bits) — too narrow to expose CORRELATED
+    planes.  The pre-round-10 affine family ``(b*A + i*B + c) % M % 7``
+    made consecutive planes differ by a constant per-dim pattern; the
+    correlated sign bits were invisible at 6 bits but at 13 bits (200k
+    corpus) skewed buckets to 694 max occupancy / 149 candidate pairs
+    per vector where ~24/32 was budgeted — measured 13.8x on the sf10
+    decade.  Plane correlation is a property of the FAMILY, not the
+    corpus, so a synthetic iid corpus at a wide width pins it without
+    the gitignored scaling fixtures: 50k hash-uniform vectors, 11
+    derived bits, same bounds as the fixture test."""
+    n = 50_000
+    vecs = spark.range(n).select(
+        F.col("id"),
+        F.expr(
+            # xxhash64 per (id, dim): full-avalanche iid uniforms — an
+            # affine per-dim generator would put the corpus on a lattice
+            # line (near-collinear vectors bucket together no matter how
+            # good the planes are) and test the corpus, not the family
+            "transform(sequence(0, 63), j -> "
+            "CAST(pmod(xxhash64(id * 64 + j), 1000003) / 1000003.0 - 0.5"
+            " AS DOUBLE))"
+        ).alias("v"),
+    )
+    bits = similarity.derive_n_bits(n)
+    assert bits >= 11, bits
+    sigs = similarity.portable_hyperplane_signatures_df(vecs, n_bits=bits)
+    row = (
+        sigs.groupBy("bucket")
+        .count()
+        .agg(
+            F.sum(F.col("count") * F.col("count")).alias("pairs"),
+            F.max("count").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    assert int(row["pairs"]) <= 4 * n * 32, (bits, int(row["pairs"]))
+    assert int(row["max_bucket"]) <= 8 * 32, (bits, int(row["max_bucket"]))
+
+
 def test_knn_join_adaptive_matches_explicit_bits(spark, sf_dir):
     """n_bits=None must be exactly equivalent to passing the derived width
     explicitly (the adaptivity only picks the dial, never the semantics)."""

@@ -215,11 +215,11 @@ def test_portable_planes_distinct_up_to_24_bits(spark):
     period 7 in b (37 = 2 mod 7), capping effective buckets at 2^7 while
     the occupancy budget assumed 2^bits: quadratic pair volume at scale."""
     def plane(b, seed=42):
-        return tuple(
-            (((b % 2147483647) * 2654435761 + i * 40503 + 13 + seed)
-             % 1000003) % 7 - 3
-            for i in range(64)
-        )
+        def coef(i):
+            x = (b * 1000003 + i * 8191 + 17 + seed) % 2147483647
+            return ((x * x) % 2147483647 + x * 48271) % 2147483647 % 7 - 3
+
+        return tuple(coef(i) for i in range(64))
 
     planes = [plane(b) for b in range(24)]
     assert len(set(planes)) == 24
