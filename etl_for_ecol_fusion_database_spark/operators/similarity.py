@@ -26,7 +26,21 @@ from pyspark.sql.window import Window
 
 
 def dot_expr(a: str | Column, b: str | Column) -> Column:
-    """Sequential-fold dot product with per-element double casts."""
+    """Sequential-fold dot product with per-element double casts.
+
+    NOTE (round 10, measured twice before settling here): do NOT try to
+    "fix" the fold by unrolling it into flat per-index arithmetic.  A
+    64-term unrolled dot measured SLOWER in both join shapes that score
+    pairs — under a BroadcastNestedLoopJoin the stage is not
+    whole-stage-codegen'd at all (everything is interpreted either way),
+    and inside a codegen'd ShuffledHashJoin stage the giant expression
+    trips janino method limits (knn_join sf10: 5.6 s fold vs 19.3 s
+    unrolled; a 20-query literal expansion dies outright with "Code
+    grows beyond 64 KB").  Where the fold IS the bottleneck at corpus
+    scale the answer is structural, not expression-level: constant
+    planes -> posexplode + flat SUM aggregates
+    (portable_hyperplane_signatures_df), bounded query set -> the Arrow
+    kernel (brute_force_topk(kernel="arrow"))."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -87,12 +101,33 @@ def brute_force_topk(
     k: int = 5,
     n_queries: int = 20,
     snap6: bool = False,
+    kernel: str = "fold",
 ) -> DataFrame:
     """Exact cosine top-k: the first ``n_queries`` ids probe the full corpus.
 
-    The query side is broadcast (bounded, tiny); the corpus never shuffles
-    until the per-query top-k, which ranks on (rounded cosine DESC, id ASC)
+    The query side is bounded and tiny; the corpus never shuffles until
+    the per-query top-k, which ranks on (rounded cosine DESC, id ASC)
     for determinism.
+
+    ``kernel`` picks the scoring engine (round 10; bit-identical results,
+    pinned by tests/test_round10_kernels.py):
+
+    - ``"fold"``: pure-DataFrame broadcast join + per-pair higher-order
+      fold.  The non-equi ``q_id != cand_id`` condition plans as
+      BroadcastNestedLoopJoin, which Spark does NOT whole-stage-codegen,
+      so EVERYTHING in that stage — fold or unrolled arithmetic alike —
+      runs interpreted (~40 s on a 200k x 20 sweep; an unrolled 20 x
+      64-term literal projection also breaks janino's 64 KB method cap).
+      Keep for generic/ragged widths and as the parity anchor.
+    - ``"arrow"``: mapInPandas over corpus batches with the query matrix
+      in the closure — the canonical dense-numeric Arrow case (same
+      policy as clustering.assign_clusters_batched).  The numpy kernel
+      accumulates SCALAR-SEQUENTIALLY across the dim index (one fused
+      multiply-add per element index, vectorized across rows), so every
+      double is bit-identical to the fold and to DuckDB's
+      ``list_dot_product``; rounding stays Spark-side.  ~10x the fold at
+      the sf10 decade, linear in N with a tiny constant: the plan a
+      1000-executor sweep of 100 TB wants.
 
     ``snap6=True`` replaces ``round(cosine, 6)`` with :func:`snap_expr`
     (the engine-portable floor snap — see its docstring for the engine
@@ -102,26 +137,101 @@ def brute_force_topk(
     selection trace); the default keeps the established round(…, 6)
     output the cosine-top-k oracles pin.
     """
-    corpus = with_norm(
-        df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")), "cv"
-    ).withColumnRenamed("norm", "cnorm")
-    queries = with_norm(
-        df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-        .filter(F.col("q_id") < n_queries),
-        "qv",
-    ).withColumnRenamed("norm", "qnorm")
-    raw = dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))
-    sim = snap_expr(raw, 6) if snap6 else F.round(raw, 6)
-    scored = (
-        F.broadcast(queries)
-        .join(corpus, F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", sim.alias("cosine"))
-    )
+    if kernel == "arrow":
+        scored = _brute_force_scores_arrow(df, id_col, vec_col, n_queries)
+        raw = F.col("_raw_cosine")
+        sim = snap_expr(raw, 6) if snap6 else F.round(raw, 6)
+        scored = scored.filter(F.col("q_id") != F.col("cand_id")).select(
+            "q_id", "cand_id", sim.alias("cosine")
+        )
+    else:
+        corpus = with_norm(
+            df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+            "cv",
+        ).withColumnRenamed("norm", "cnorm")
+        queries = with_norm(
+            df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+            .filter(F.col("q_id") < n_queries),
+            "qv",
+        ).withColumnRenamed("norm", "qnorm")
+        raw = dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm"))
+        sim = snap_expr(raw, 6) if snap6 else F.round(raw, 6)
+        scored = (
+            F.broadcast(queries)
+            .join(corpus, F.col("q_id") != F.col("cand_id"))
+            .select("q_id", "cand_id", sim.alias("cosine"))
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _brute_force_scores_arrow(
+    df: DataFrame, id_col: str, vec_col: str, n_queries: int
+) -> DataFrame:
+    """(q_id, cand_id, _raw_cosine) for every (query, corpus) pair via a
+    batched numpy kernel; see :func:`brute_force_topk` ``kernel="arrow"``.
+
+    Accumulation contract: dots and norms fold scalar-sequentially across
+    the dim index in float64 (``acc += V[:, i] * q[i]``), and the cosine
+    is ``dot / (qnorm * cnorm)`` with the same operand order as the fold
+    path — bit-identical doubles, so the Spark-side round/snap emits the
+    same value-hash the DuckDB oracle computes.  Per-batch work is
+    row-local; batch boundaries cannot affect results."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    qrows = (
+        df.select(F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+        .filter(F.col("q_id") < n_queries)
+        .orderBy("q_id")
+        .collect()
+    )
+    q_ids = np.array([int(r.q_id) for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    d = qm.shape[1]
+    qnorm = np.zeros(qm.shape[0])
+    for i in range(d):
+        qnorm += qm[:, i] * qm[:, i]
+    qnorm = np.sqrt(qnorm)
+    base = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_v"))
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("_raw_cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["_v"]]
+            )  # (n, d)
+            n = v.shape[0]
+            dots = np.zeros((n, qm.shape[0]))
+            cnorm = np.zeros(n)
+            for i in range(d):
+                dots += v[:, i, None] * qm[None, :, i]
+                cnorm += v[:, i] * v[:, i]
+            cnorm = np.sqrt(cnorm)
+            cos = dots / (qnorm[None, :] * cnorm[:, None])
+            cand = pdf["cand_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "cand_id": np.repeat(cand, qm.shape[0]),
+                    "_raw_cosine": cos.reshape(-1),
+                }
+            )
+
+    return base.mapInPandas(score, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -196,13 +306,21 @@ def portable_hyperplane_signatures_df(
 ) -> DataFrame:
     """``hyperplane_signatures_df`` with integer-valued plane components
     p(bit, i) = ((x*x % P + x*48271) % P) % 7 - 3 with
-    x = (bit*1000003 + i*8191 + 17 + seed) % P, P = 2147483647,
-    and SEQUENTIAL double folds for the projections — both choices trade
-    throughput for bit-identical cross-engine arithmetic (same trick as
-    the oracle-checked k-means assignment), so a DuckDB oracle can replay
-    bucket assignment exactly.  The xxhash64/posexplode fast path above
-    stays the production configuration (codegen aggregation, richer
-    planes).
+    x = (bit*1000003 + i*8191 + 17 + seed) % P, P = 2147483647 —
+    integer planes so a DuckDB oracle can replay bucket assignment
+    exactly (same trick as the oracle-checked k-means assignment).
+
+    Round 10: same posexplode + flat-expression SUM structure as the
+    production path above, NOT a per-bit ``aggregate(transform(...))``
+    fold — higher-order lambdas are interpreted (outside whole-stage
+    codegen) and re-scan the vector once per bit, which the sf10 panel
+    measured as the DOMINANT term of the knn_join head (the 13
+    interpreted per-bit folds ran twice, once per self-join side).
+    Accumulation stays bit-identical to the sequential fold and to
+    DuckDB's ``list_sum``: posexplode emits one vector's elements
+    contiguously inside one task, so the map-side partial sum
+    accumulates in position order and the final merge sees a single
+    partial per id.
 
     The QUADRATIC mix (x*x term) is load-bearing (round 10): any affine
     family ``(bit*A + i*B + c) % M % 7`` makes consecutive planes differ
@@ -219,24 +337,32 @@ def portable_hyperplane_signatures_df(
     had period 7, capping effective buckets at 2^7).  All intermediates
     stay under 2^63 (x < 2^31 so x*x < 2^62): safe under ANSI BIGINT in
     both engines."""
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+    p = F.lit(2147483647)
+    comps = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
     )
+
+    def coef(bit: int) -> Column:
+        xq = (
+            F.col("pos").cast("long") * F.lit(8191)
+            + F.lit(bit * 1000003 + 17 + seed)
+        ) % p
+        h = ((xq * xq) % p + xq * F.lit(48271)) % p
+        return (h % F.lit(7) - F.lit(3)).cast("double")
+
+    aggs = [
+        F.sum(F.col("x") * coef(bit)).alias(f"p_{bit}") for bit in range(n_bits)
+    ]
+    agg = comps.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
-        x = f"(({b}L * 1000003 + i * 8191 + 17 + {seed}) % 2147483647)"
-        arr = F.expr(
-            f"transform(sequence(0, size(_v) - 1),"
-            f" i -> _v[i] * CAST(((({x} * {x}) % 2147483647"
-            f" + {x} * 48271) % 2147483647) % 7 - 3 AS DOUBLE))"
-        )
-        dot = F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
         sig = sig.bitwiseOR(
-            F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.when(F.col(f"p_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return base.select("id", sig.alias("bucket"))
+    return agg.select("id", sig.alias("bucket"))
 
 
 def lsh_bucketed_ann(

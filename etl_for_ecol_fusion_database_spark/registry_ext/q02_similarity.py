@@ -60,7 +60,14 @@ def x2_cosine_topk(spark, sf_dir):
     vectors against the full corpus, JVM-side double fold for the dot
     product, per-query top-5 on (cosine DESC, cand_id)."""
     return similarity.brute_force_topk(
-        _t(spark, sf_dir, "embeddings"), k=5, n_queries=20
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        n_queries=20,
+        # Arrow kernel (round 10): the non-equi broadcast join plans as
+        # BroadcastNestedLoopJoin, which whole-stage codegen skips — the
+        # per-pair fold ran interpreted and dominated the sf10 panel cell.
+        # Bit-identical to the fold path (pinned); rounding stays Spark-side.
+        kernel="arrow",
     )
 
 

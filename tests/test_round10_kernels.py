@@ -1,0 +1,84 @@
+"""Round-10 kernel parity pins.
+
+The sf10 panel showed the interpreted higher-order fold dominating the
+pair-scoring heads (BroadcastNestedLoopJoin stages are never
+whole-stage-codegen'd), so x2_cosine_topk moved to the Arrow kernel
+(brute_force_topk(kernel="arrow")).  The kernel's contract is
+BIT-IDENTICAL doubles — scalar-sequential accumulation across the dim
+index, same operand order for the norm product — so the registered
+query keeps its exact DuckDB value-hash.  These tests pin that
+contract the way test_round7_parity.py pins the portable twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_for_ecol_fusion_database_spark.catalog import load_table
+from etl_for_ecol_fusion_database_spark.operators import similarity
+
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def test_brute_force_arrow_kernel_bit_identical_to_fold(spark):
+    """Full top-k output equality (ids, ranks, AND rounded cosines) between
+    the Arrow kernel and the pure-DataFrame fold path — any accumulation
+    -order drift in the numpy kernel shows up here as a rounded-cosine
+    mismatch."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    fold = similarity.brute_force_topk(emb, k=5, n_queries=20, kernel="fold")
+    arrow = similarity.brute_force_topk(emb, k=5, n_queries=20, kernel="arrow")
+    assert fold.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fold).count() == 0
+
+
+def test_brute_force_arrow_kernel_raw_doubles_identical(spark):
+    """Stronger than the rounded pin: the RAW cosine doubles must match the
+    fold's bit for bit (joined on the pair key, compared unrounded) — the
+    round-6 projection can mask up to 5e-7 of drift, which is exactly the
+    kind of latent divergence that would surface as a hash flap on a new
+    fixture."""
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(300)
+    corpus = similarity.with_norm(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")),
+        "cv",
+    ).withColumnRenamed("norm", "cnorm")
+    queries = similarity.with_norm(
+        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        .filter(F.col("q_id") < 8),
+        "qv",
+    ).withColumnRenamed("norm", "qnorm")
+    fold_raw = (
+        F.broadcast(queries)
+        .join(corpus, F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id",
+            "cand_id",
+            (
+                similarity.dot_expr("qv", "cv")
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("raw_fold"),
+        )
+    )
+    arrow_raw = similarity._brute_force_scores_arrow(
+        emb, "vec_id", "embedding", 8
+    ).filter(F.col("q_id") != F.col("cand_id"))
+    both = fold_raw.join(arrow_raw, ["q_id", "cand_id"])
+    n = both.count()
+    assert n == 8 * 299
+    mismatched = both.filter(F.col("raw_fold") != F.col("_raw_cosine")).count()
+    assert mismatched == 0
+
+
+def test_brute_force_arrow_kernel_snap6_path(spark):
+    """snap6 stays Spark-side for both kernels (mmr's cascade guard), so
+    the snapped outputs must agree too."""
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(200)
+    fold = similarity.brute_force_topk(
+        emb, k=3, n_queries=5, snap6=True, kernel="fold"
+    )
+    arrow = similarity.brute_force_topk(
+        emb, k=3, n_queries=5, snap6=True, kernel="arrow"
+    )
+    assert fold.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(fold).count() == 0
