@@ -141,18 +141,34 @@ def assign_clusters_batched(
 
     Bit-exactness contract (what makes this substitutable for
     ``assign_clusters``/``assign_clusters_join`` under the DuckDB-oracle
-    hash gate): the accumulation ORDER is the fold's order — for each
-    element index i in sequence, one subtraction, one square, one add
-    into the float64 accumulator (``acc += (v_i - c_i)^2``, vectorized
-    across rows and centroids, scalar-sequential across i) — and
-    ``np.argmin`` returns the FIRST minimum, reproducing the lowest-index
-    tie rule.  Verified equal to both JVM paths in
-    tests/test_curation_ops.py.
+    hash gate): the WINNING cluster id per row is exactly the one the
+    fold paths pick — the fold's scalar-sequential float64 accumulation
+    (``acc += (v_i - c_i)^2`` across the dim index in order) decides
+    every comparison the outcome could hinge on, with first-minimum
+    (lowest-index) ties.  Verified equal to both JVM paths in
+    tests/test_curation_ops.py; adversarial duplicate-centroid /
+    near-tie cases pinned in tests/test_round10_kernels.py.
+
+    HOW (round 10 — the dim-sequential full (n x k) loop was 160 s at
+    sf10's N=200k/k=1600, memory-bound on 3 temps of n x k doubles per
+    dim index): squared-L2 distance is computed ONCE per (row, centroid)
+    via the BLAS identity ``|v|^2 - 2 v.C^T + |c|^2`` (one matmul), then
+    rows keep every centroid within a conservative epsilon of their
+    approximate minimum and ONLY those candidates get the exact fold-
+    order recompute; the winner is the candidates' fold-d2 first-min.
+    The epsilon (``1e-9 * (1 + |v|^2 + max|c|^2)``) exceeds the matmul
+    route's worst-case float64 error (~``3e-14 * (|v|^2 + |c|^2)``) by
+    >10^4, so the true fold argmin can never be pruned; any centroid
+    BEYOND epsilon is farther under both computations and can never win.
+    Bitwise-duplicate centroids are collapsed to their lowest index
+    before pruning (first-min can never pick the higher copy), keeping
+    the multi-candidate recompute loop bounded by genuine near-ties.
 
     Scale shape: centroids ride the closure (k x dim doubles, broadcast
-    with the task binary); each Arrow batch does 3 vectorized ops per
-    element index; output is one row per input row — no shuffle at all
-    (the downstream consumer decides its own partitioning)."""
+    with the task binary); each Arrow batch does one (n x dim) @
+    (dim x k) matmul + an O(candidates) recompute; output is one row per
+    input row — no shuffle at all (the downstream consumer decides its
+    own partitioning)."""
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -169,15 +185,67 @@ def assign_clusters_batched(
             v = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )  # (n, dim)
-            acc = np.zeros((len(pdf), cent.shape[0]), dtype=np.float64)
-            for i in range(cent.shape[1]):
-                d = v[:, i, None] - cent[None, :, i]
-                acc += d * d
+            best, _ = _fold_argmin_d2(v, cent)
             pdf = pdf[cols].copy()
-            pdf["cluster"] = acc.argmin(axis=1).astype("int32")
+            pdf["cluster"] = best.astype("int32")
             yield pdf
 
     return df.mapInPandas(assign, schema=out_schema)
+
+
+def _fold_argmin_d2(v, cent):
+    """Exact fold-semantics nearest centroid via matmul pruning: returns
+    ``(winner_idx (n,), winner_exact_d2 (n,))`` where the winner per row
+    is the first minimum (lowest index) of the scalar-sequential fold
+    squared-L2 — the JVM ``assign_clusters`` contract — and the returned
+    d2 is that winner's EXACT fold value (so callers may compare winners
+    across calls, as the hierarchical kernel's cross-cell merge does).
+
+    See :func:`assign_clusters_batched` for the epsilon proof.  Bitwise-
+    duplicate centroid rows are collapsed to their lowest index first
+    (first-min can never pick the higher copy), which keeps the
+    multi-candidate exact-recompute loop bounded by GENUINE near-ties
+    instead of degenerating on dup-heavy seed sets."""
+    import numpy as np
+
+    _, uniq_pos = np.unique(cent, axis=0, return_index=True)
+    uniq_pos = np.sort(uniq_pos)
+    c = cent[uniq_pos]
+    n = v.shape[0]
+    vnorm2 = (v * v).sum(axis=1)
+    cnorm2 = (c * c).sum(axis=1)
+    approx = vnorm2[:, None] - 2.0 * (v @ c.T) + cnorm2[None, :]
+    amin = approx.min(axis=1)
+    eps = 1e-9 * (1.0 + vnorm2 + (float(cnorm2.max()) if cnorm2.size else 0.0))
+    cand_mask = approx <= (amin + eps)[:, None]
+    best = approx.argmin(axis=1)  # correct wherever exactly 1 candidate
+    d2 = np.zeros(n, dtype=np.float64)
+    multi = (cand_mask.sum(axis=1) > 1).nonzero()[0]
+    for r in multi:
+        cands = cand_mask[r].nonzero()[0]  # ascending index order
+        acc = np.zeros(cands.size, dtype=np.float64)
+        vr = v[r]
+        cc = c[cands]
+        for i in range(cc.shape[1]):
+            d = vr[i] - cc[:, i]
+            acc += d * d
+        loc = acc.argmin()
+        best[r] = cands[loc]
+        d2[r] = acc[loc]
+    # exact fold d2 for the single-candidate winners (vectorized gather,
+    # one fused subtract/square/add per dim index — the fold's order)
+    sing_mask = np.ones(n, dtype=bool)
+    sing_mask[multi] = False
+    single = sing_mask.nonzero()[0]
+    if single.size:
+        cw = c[best[single]]
+        vs = v[single]
+        acc = np.zeros(single.size, dtype=np.float64)
+        for i in range(cw.shape[1]):
+            d = vs[:, i] - cw[:, i]
+            acc += d * d
+        d2[single] = acc
+    return uniq_pos[best], d2
 
 
 def _coarse_quantize_centroids(
@@ -262,15 +330,15 @@ def assign_clusters_hierarchical(
         list(df.schema.fields) + [StructField("cluster", IntegerType())]
     )
 
-    def _fold_d2(v, c):
-        """(n x dim, m x dim) -> (n x m) squared-L2 with the flat
-        kernels' exact accumulation order: scalar-sequential across the
-        dim index, one fused subtract/square/add per step."""
-        acc = np.zeros((v.shape[0], c.shape[0]), dtype=np.float64)
-        for i in range(c.shape[1]):
-            d = v[:, i, None] - c[None, :, i]
-            acc += d * d
-        return acc
+    def _coarse_d2(v):
+        """(n x dim) -> (n x n_coarse) squared-L2 for coarse RANKING only
+        (matmul route — the probe ORDER may differ from the fold's in
+        eps-near-ties, which the approximate contract absorbs; at
+        probes >= n_coarse every cell is probed so order cannot matter
+        and the bit-identity pin holds through the exact per-cell
+        winners below)."""
+        vn2 = (v * v).sum(axis=1)
+        return vn2[:, None] - 2.0 * (v @ coarse.T) + (coarse * coarse).sum(axis=1)[None, :]
 
     def assign(batches):
         for pdf in batches:
@@ -280,7 +348,7 @@ def assign_clusters_hierarchical(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )  # (n, dim)
             n = v.shape[0]
-            cd = _fold_d2(v, coarse)  # (n, n_coarse)
+            cd = _coarse_d2(v)  # (n, n_coarse)
             # stable top-p cells: full argsort is fine at sqrt(k) cells
             probe_cells = np.argsort(cd, axis=1, kind="stable")[:, :probes]
             best_d = np.full(n, np.inf)
@@ -292,9 +360,11 @@ def assign_clusters_hierarchical(
                     if m.size == 0:
                         continue
                     rows = (cells_j == c).nonzero()[0]
-                    d2 = _fold_d2(v[rows], cent[m])  # (|rows|, |m|)
-                    loc = d2.argmin(axis=1)  # first min = lowest index
-                    dloc = d2[np.arange(rows.size), loc]
+                    # exact fold-contract winner + its exact fold d2
+                    # within this cell (matmul-pruned inside the helper),
+                    # so the cross-cell merge below compares the same
+                    # doubles the flat kernels would
+                    loc, dloc = _fold_argmin_d2(v[rows], cent[m])
                     iloc = m[loc]
                     upd = (dloc < best_d[rows]) | (
                         (dloc == best_d[rows]) & (iloc < best_i[rows])
@@ -311,8 +381,7 @@ def assign_clusters_hierarchical(
             # all-probed-cells-empty rows.
             unresolved = (best_i == np.iinfo(np.int64).max).nonzero()[0]
             if unresolved.size:
-                d2 = _fold_d2(v[unresolved], cent)
-                best_i[unresolved] = d2.argmin(axis=1)
+                best_i[unresolved], _ = _fold_argmin_d2(v[unresolved], cent)
             pdf = pdf[cols].copy()
             pdf["cluster"] = best_i.astype("int32")
             yield pdf

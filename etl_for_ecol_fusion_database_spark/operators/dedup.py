@@ -883,11 +883,14 @@ def dedup_survivors(
 
 
 #: fine-centroid count past which ``semantic_dedup`` switches from flat
-#: N x k x dim assignment to the two-level IVF-style kernel.  2048 keeps
-#: every driver / committed-fixture scale on the bit-exact flat path
-#: (k = clamp(N/125, 16, N): sf0.01 -> 16, sf0.1 -> 40, sf1 -> 400) and
-#: moves sf10 (k = 4000) and beyond onto the scale path.
-_HIERARCHICAL_K = 2048
+#: N x k x dim assignment to the two-level IVF-style kernel.  1024 keeps
+#: every ORACLE-CHECKED scale on the bit-exact flat path (k =
+#: clamp(N/125, 16, N): sf0.01 -> 16, sf0.1 -> 16, sf1 -> 160) and moves
+#: the sf10 scaling fixture (k = 1600 at 200k embeddings) and beyond
+#: onto the N x sqrt(k)-shaped scale path — the round-9 posture, re-tuned
+#: after the round-10 structure-preserving fixture shrank sf10's k below
+#: the old 2048 line.
+_HIERARCHICAL_K = 1024
 
 
 def semantic_dedup(
@@ -897,6 +900,7 @@ def semantic_dedup(
     vec_col: str = "v",
     *,
     threshold: float = 0.95,
+    pair_kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cluster every vector to its nearest centroid, compute exact pairwise
@@ -909,7 +913,27 @@ def semantic_dedup(
     centroids the join is tractable at corpus scale where all-pairs cosine
     is not.  The pair join is a plain equi-join on the cluster id (ids
     ordered to halve the pairs); norms are computed once per vector, never
-    per pair; the discard set joins back LEFT ANTI on the id."""
+    per pair; the discard set joins back LEFT ANTI on the id.
+
+    ``pair_kernel`` picks the within-cluster scoring engine (round 10;
+    bit-identical decisions, pinned in tests/test_round10_kernels.py):
+
+    - ``"fold"``: self-join on the cluster id + per-pair higher-order
+      fold.  Correct, but every pair pays an interpreted 2·dim-lambda
+      walk (Catalyst never codegens higher-order functions), which at
+      the sf10 decade made THIS stage ~75% of the query's wall time.
+    - ``"arrow"``: ``groupBy(cluster).applyInPandas`` — one shuffle on
+      the same cluster key the join needed anyway, then a dense numpy
+      kernel per cluster that accumulates dots SCALAR-SEQUENTIALLY
+      across the dim index (the :func:`similarity.dot_expr` fold order,
+      so every raw double is bit-identical).  The kernel only PREFILTERS
+      at ``threshold - 1e-6``; the actual keep/discard decision stays
+      Spark-side as the identical ``round(raw, 6) >= threshold`` both
+      paths share, so engine rounding semantics can never diverge.
+      Per-task memory is bounded: pair blocks of ``<= 2048 x |cluster|``
+      doubles regardless of cluster skew.
+    - ``"auto"`` (default): ``"arrow"`` when numpy/pandas/pyarrow import,
+      else ``"fold"`` — same dependency policy as the assignment step."""
     from . import clustering
     from . import similarity
 
@@ -966,27 +990,131 @@ def semantic_dedup(
         assigned.withColumn("nrm", F.sqrt(similarity.norm_sq_expr("v")))
         .localCheckpoint(eager=False)
     )
-    a = withn.alias("a")
-    b = withn.alias("b")
-    # dot_expr casts each element to double BEFORE multiplying — a raw
-    # float32 x*y would round in single precision and diverge from a
-    # DOUBLE[]-based oracle replay near the dedup threshold
-    cos = F.round(
-        similarity.dot_expr(F.col("a.v"), F.col("b.v"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    dup_b = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+    use_arrow = pair_kernel == "arrow"
+    if pair_kernel == "auto":
+        try:
+            import numpy  # noqa: F401 — Arrow kernel deps, probed only
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            use_arrow = True
+        except ImportError:
+            use_arrow = False
+    if use_arrow:
+        # Raw candidate cosines from the per-cluster numpy kernel; the
+        # decision itself is the SAME Spark round(raw, 6) >= threshold
+        # the fold path applies, on bit-identical raw doubles.
+        dup_b = (
+            _semdedup_pairs_arrow(withn, threshold)
+            .filter(F.round(F.col("_raw_cosine"), 6) >= F.lit(threshold))
+            .select("id")
+            .distinct()
         )
-        .filter(cos >= F.lit(threshold))
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-    )
+    else:
+        a = withn.alias("a")
+        b = withn.alias("b")
+        # dot_expr casts each element to double BEFORE multiplying — a raw
+        # float32 x*y would round in single precision and diverge from a
+        # DOUBLE[]-based oracle replay near the dedup threshold
+        cos = F.round(
+            similarity.dot_expr(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        )
+        dup_b = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .filter(cos >= F.lit(threshold))
+            .select(F.col("b.id").alias("id"))
+            .distinct()
+        )
     return withn.join(dup_b, on="id", how="left_anti").select("id", "cluster")
+
+
+def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
+    """(id, _raw_cosine) candidate near-dup rows — the higher-id member of
+    every within-cluster pair whose RAW cosine clears ``threshold - 1e-6``
+    — via ``groupBy(cluster).applyInPandas``; see :func:`semantic_dedup`
+    ``pair_kernel="arrow"``.
+
+    Accumulation contract (the brute_force_topk arrow-kernel contract):
+    dots fold scalar-sequentially across the dim index in float64
+    (``dots += V[:, i, None] * V[None, :, i]``) and the cosine divides by
+    ``a.nrm * b.nrm`` — the Spark-computed norm column, passed through
+    Arrow untouched — so raw doubles are bit-identical to the fold path's.
+    The 1e-6 margin is conservative vs round-to-6dp (which moves a value
+    by at most 5e-7): no pair the fold path would keep can be prefiltered
+    away.  Pairs honor ``a.id < b.id`` via a strict upper triangle in id
+    order; zero-norm rows produce NaN/Inf raw cosines exactly as the fold
+    does and resolve in the shared Spark-side decision.  Work per cluster
+    is |c|^2 x dim (the SemDeDup recipe's own bound); the row blocking
+    caps task memory at 2048 x |c| doubles under cluster skew."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("_raw_cosine", DoubleType()),
+        ]
+    )
+    margin = float(threshold) - 1e-6
+
+    def score(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id": np.empty(0, dtype=np.int64),
+                    "_raw_cosine": np.empty(0, dtype=np.float64),
+                }
+            )
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+        v = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()[order]]
+        )  # (n, d)
+        d = v.shape[1]
+        cols = np.arange(n)[None, :]
+        out_ids, out_cos = [], []
+        block = 2048
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                dots = np.zeros((e - s, n), dtype=np.float64)
+                for i in range(d):
+                    dots += v[s:e, i, None] * v[None, :, i]
+                cos = dots / (nrm[s:e, None] * nrm[None, :])
+                mask = (cols > np.arange(s, e)[:, None]) & (cos >= margin)
+                hit_a, hit_b = np.nonzero(mask)
+                if hit_a.size:
+                    out_ids.append(ids[hit_b])
+                    out_cos.append(cos[hit_a, hit_b])
+        if not out_ids:
+            return pd.DataFrame(
+                {
+                    "id": np.empty(0, dtype=np.int64),
+                    "_raw_cosine": np.empty(0, dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id": np.concatenate(out_ids),
+                "_raw_cosine": np.concatenate(out_cos),
+            }
+        )
+
+    return (
+        withn.select("id", "cluster", "nrm", "v")
+        .groupBy("cluster")
+        .applyInPandas(score, schema=out_schema)
+    )
 
 
 def cdc_chunk_rows(

@@ -82,3 +82,99 @@ def test_brute_force_arrow_kernel_snap6_path(spark):
     )
     assert fold.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(fold).count() == 0
+
+def test_batched_assignment_adversarial_ties_match_jvm(spark):
+    """The matmul-pruned assignment (round 10) must keep the fold
+    contract on the shapes the epsilon proof worries about: bitwise-
+    DUPLICATE centroids (dup-heavy SemDeDup seed sets — first-min must
+    pick the lowest copy), exact equidistance between DISTINCT centroids
+    (mirror-symmetric pair), and rows equal to a centroid (d2 = 0).
+    Compared against the pure-JVM broadcast-join path on every row."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],   # bitwise duplicate of 0
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, -1.0, 0.0, 0.0],  # mirror of 2: exact tie for y=0 rows
+        [0.25, 0.25, 0.25, 0.25],
+        [0.0, 0.0, 0.0, 0.0],
+    ]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # on centroid 0 (and its dup 1)
+        (1, [0.0, 0.0, 1.0, 0.0]),      # exactly equidistant from 2 and 3
+        (2, [0.0, 0.0, 0.0, 0.0]),      # on centroid 5
+        (3, [0.5, 0.0, 0.0, 0.0]),
+        (4, [0.25, 0.25, 0.25, 0.25]),  # on centroid 4
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+        (6, [0.1, 0.2, 0.3, 0.4]),
+        (7, [0.0, 0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"]).select(
+        "id", F.col("v").cast("array<double>").alias("v")
+    )
+    jvm = {
+        r.id: r.cluster
+        for r in clustering.assign_clusters_join(df, "v", cents, "id").collect()
+    }
+    batched = {
+        r.id: r.cluster
+        for r in clustering.assign_clusters_batched(df, "v", cents).collect()
+    }
+    assert batched == jvm
+    # the dup-centroid and symmetric-tie rows specifically resolve LOW
+    assert batched[0] == 0 and batched[2] == 5
+
+
+def test_hierarchical_full_probe_still_bit_identical_after_matmul(spark):
+    """probes >= n_coarse makes the candidate set every fine centroid, so
+    the matmul coarse RANKING (round 10) cannot change the output: pinned
+    equal to the flat batched kernel on the real fixture."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    seeds = [list(r.v) for r in emb.filter(F.col("id") < 48).orderBy("id").collect()]
+    flat = {r.id: r.cluster for r in clustering.assign_clusters_batched(emb, "v", seeds).collect()}
+    hier = {
+        r.id: r.cluster
+        for r in clustering.assign_clusters_hierarchical(
+            emb, "v", seeds, probes=7, n_coarse=7
+        ).collect()
+    }
+    assert hier == flat
+
+
+def test_semdedup_pair_kernels_identical(spark):
+    """semantic_dedup(pair_kernel='arrow') — groupBy(cluster).applyInPandas
+    with Spark-side round-6 decision — must emit exactly the fold join's
+    survivor set, including through the adaptive-k batched assignment."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup as dedup_ops
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = [
+        list(r.v) for r in emb.filter(F.col("vec_id") < 40).orderBy("vec_id").collect()
+    ]
+    fold = sorted(
+        map(
+            tuple,
+            dedup_ops.semantic_dedup(
+                emb, seeds, id_col="vec_id", vec_col="v",
+                threshold=0.3, pair_kernel="fold",
+            ).collect(),
+        )
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            dedup_ops.semantic_dedup(
+                emb, seeds, id_col="vec_id", vec_col="v",
+                threshold=0.3, pair_kernel="arrow",
+            ).collect(),
+        )
+    )
+    assert fold == arrow and len(fold) > 0
