@@ -248,6 +248,34 @@ def _fold_argmin_d2(v, cent):
     return uniq_pos[best], d2
 
 
+def assign_clusters_auto(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Dispatch between the bit-identical assignment engines: the
+    matmul-pruned Arrow kernel (:func:`assign_clusters_batched`) when its
+    deps import, else the inlined-fold JVM path (:func:`assign_clusters`).
+
+    Round-10 rationale for dispatching at ANY k (the old policy reserved
+    the kernel for k > 32): Catalyst never codegens higher-order
+    functions, so even a k=8 inline assignment pays 2 interpreted lambda
+    evaluations per (row, centroid, dim index) — at sf10 that made
+    x8_kmeans_clusters' 4 assignment passes a 49 s head and the IVF-PQ
+    coarse+code argmins ~27 s each.  The kernel's winners are pinned
+    bit-identical to the folds (including duplicate-centroid and exact-
+    tie cases, tests/test_round10_kernels.py), so every DuckDB-oracle
+    replay is unaffected by which engine runs."""
+    if len(centroids) > 1:
+        try:
+            import numpy  # noqa: F401 — Arrow kernel deps, probed only
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            return assign_clusters_batched(df, vec_col, centroids)
+        except ImportError:
+            pass
+    return assign_clusters(df, vec_col, centroids)
+
+
 def _coarse_quantize_centroids(
     cent, n_coarse: int, n_iter: int = 5
 ):
@@ -427,7 +455,7 @@ def kmeans_fit(
     else:
         mean_expr = snap_expr(F.avg("x"), round_dp)
     for _ in range(n_iter):
-        assigned = assign_clusters(base, "v", centroids)
+        assigned = assign_clusters_auto(base, "v", centroids)
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -441,7 +469,7 @@ def kmeans_fit(
         for ci, dims in by_cluster.items():
             new_c[ci] = [dims[p] for p in sorted(dims)]
         centroids = new_c
-    return centroids, assign_clusters(base, "v", centroids).select(
+    return centroids, assign_clusters_auto(base, "v", centroids).select(
         F.col("id"), F.col("cluster")
     )
 
@@ -460,6 +488,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     *,
     sub_dim: int,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into
     ``len(codebooks)`` contiguous ``sub_dim``-wide subvectors and assign
@@ -468,10 +497,30 @@ def pq_encode(
     in memory as m bytes/vector for IVF-PQ-style ANN serving.
 
     ``codebooks[j]`` is the list of codewords for subspace ``j``.  Output
-    is long-form ``(id, subspace, code)``.  The plan is a UNION of one
-    narrow ``assign_clusters`` projection per subspace: codewords enter as
-    broadcast literals, vectors never shuffle, and the union is plan-level
-    only (no exchange), so encoding cost is one scan of the corpus."""
+    is long-form ``(id, subspace, code)``.
+
+    ``kernel="auto"`` (default) encodes every subspace in ONE Arrow pass
+    (``mapInPandas``; one matmul-pruned exact argmin per subspace slice,
+    winners bit-identical to the folds — see
+    :func:`assign_clusters_batched`) when numpy/pandas/pyarrow import;
+    ``"fold"`` keeps the pure-JVM plan — a UNION of one narrow
+    ``assign_clusters`` projection per subspace: codewords enter as
+    broadcast literals, vectors never shuffle, and the union is
+    plan-level only (no exchange), so encoding cost is one scan of the
+    corpus (of interpreted per-codeword folds — the reason auto prefers
+    the Arrow pass)."""
+    use_arrow = kernel == "arrow"
+    if kernel == "auto":
+        try:
+            import numpy  # noqa: F401 — Arrow kernel deps, probed only
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            use_arrow = True
+        except ImportError:
+            use_arrow = False
+    if use_arrow:
+        return _pq_encode_arrow(df, id_col, vec_col, codebooks, sub_dim)
     parts = []
     for j, codebook in enumerate(codebooks):
         sub = df.select(
@@ -489,3 +538,55 @@ def pq_encode(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    sub_dim: int,
+) -> DataFrame:
+    """Single-pass Arrow PQ encoder: one ``mapInPandas`` over the corpus,
+    one :func:`_fold_argmin_d2` per subspace slice per batch — winners
+    carry the folds' exact first-min semantics, so output codes are
+    bit-identical to the JVM union plan (pinned in
+    tests/test_round10_kernels.py)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(books)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("subspace", IntegerType()),
+            StructField("code", IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            n = v.shape[0]
+            codes = np.empty((m, n), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * sub_dim : (j + 1) * sub_dim]
+                codes[j], _ = _fold_argmin_d2(sub, books[j])
+            yield pd.DataFrame(
+                {
+                    "id": np.tile(ids, m),
+                    "subspace": np.repeat(
+                        np.arange(m, dtype=np.int32), n
+                    ),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return base.mapInPandas(encode, schema=out_schema)

@@ -1972,12 +1972,16 @@ def x1_semdedup(spark, sf_dir):
     exists to avoid; the oracle computes the same k from COUNT(*), so
     both sides stay bit-identical at every scale.  Seeds are the k
     lowest-id vectors (the x8 seeding); for k > 32 the assignment runs as
-    an Arrow-batched numpy distance kernel with the fold's exact
-    accumulation order (see operators/clustering.assign_clusters_batched;
-    assign_clusters_join is the pure-JVM fallback).  Fixture threshold 0.3
-    (production ~0.95: the synthetic embeddings are near-orthogonal, so
-    0.95 would be vacuous here).  Norms once per vector; one
-    cluster-keyed shuffle + one anti-join."""
+    a matmul-pruned Arrow numpy kernel whose winners are decided by the
+    fold's exact accumulation order (operators/clustering
+    .assign_clusters_batched; assign_clusters_join is the pure-JVM
+    fallback), and the within-cluster pair scoring runs as a
+    groupBy(cluster).applyInPandas kernel whose keep/discard decision
+    stays Spark-side (semantic_dedup pair_kernel='arrow'; the fold join
+    is the parity anchor).  Fixture threshold 0.3 (production ~0.95: the
+    synthetic embeddings are near-orthogonal, so 0.95 would be vacuous
+    here).  Norms once per vector; one cluster-keyed shuffle + one
+    anti-join."""
     from ..catalog import table_row_count
     from ..operators import dedup as dedup_ops
 

@@ -489,7 +489,7 @@ def _ivf_pq_search(spark, sf_dir, index_sink: str | None = None):
             + [StructField(f"d_{j}_{c}", DoubleType()) for j in range(4) for c in range(4)]
         ),
     )
-    cells = clustering.assign_clusters(emb, "v", cents).select(
+    cells = clustering.assign_clusters_auto(emb, "v", cents).select(
         "vec_id", F.col("cluster").alias("cell")
     )
     wide = (

@@ -178,3 +178,29 @@ def test_semdedup_pair_kernels_identical(spark):
         )
     )
     assert fold == arrow and len(fold) > 0
+
+def test_pq_encode_arrow_identical_to_fold_union(spark):
+    """pq_encode(kernel='arrow') — the single-pass Arrow encoder — must
+    emit exactly the JVM union plan's (id, subspace, code) set, including
+    first-min tie codes."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    head = [
+        list(r.v)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codebooks = [[head[c][j * 16 : (j + 1) * 16] for c in range(4)] for j in range(4)]
+    fold = sorted(
+        map(tuple, clustering.pq_encode(
+            emb, "vec_id", "v", codebooks, sub_dim=16, kernel="fold"
+        ).collect())
+    )
+    arrow = sorted(
+        map(tuple, clustering.pq_encode(
+            emb, "vec_id", "v", codebooks, sub_dim=16, kernel="arrow"
+        ).collect())
+    )
+    assert fold == arrow and len(fold) > 0
