@@ -223,15 +223,27 @@ def f9_levenshtein_match(spark, sf_dir):
     as the MinHash band joins (operators/dedup.py): corpus-sized inputs,
     bounded matched groups (<= 100/block), so SortMergeJoin's two
     O(n log n) sorts are pure overhead; the hash build side is one
-    blk-partition of the (3-column) supplier relation.  The sf10 panel
-    measured this query at 9.9x/decade with EXACTLY-linear candidates
-    (100 pairs/row at every SF) — the excess was the sorts."""
+    blk-partition of the (3-column) supplier relation.
+
+    Round 10b (the 9.4x-median-of-3 constant, identified by stage
+    inspection at sf10): the supplier relation is tiny in BYTES (~4 MB
+    of 3 columns at 100k rows), so AQE's bytes-based advisory sizing
+    coalesced the blk shuffle to ONE partition — and the probe stage
+    explodes each row into ~100 pairs and runs a ~18-char levenshtein
+    on every one, i.e. the stage is compute-bound where AQE only sees
+    bytes.  The explicit fixed-count ``repartition(32, blk)`` is a
+    REPARTITION_BY_NUM shuffle origin, which AQE never coalesces, so
+    the levenshtein stage keeps full parallelism (sf10: 30.4 -> ~3 s,
+    identical output).  At real corpus scale the bytes estimate grows
+    past the advisory size and the knob is moot — this is pinning
+    correct parallelism for compute-heavy-small-bytes stages, the same
+    class of fix as a skew salt."""
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
         F.expr("left(s_name, length(s_name) - 2)").alias("blk"),
     )
-    a = s.alias("a")
+    a = s.repartition(32, "blk").alias("a")
     b = s.hint("shuffle_hash").alias("b")
     return (
         a.join(
