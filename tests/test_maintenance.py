@@ -59,16 +59,8 @@ def test_zorder_key_interleaves_bits(spark):
     assert got == {(0, 0): 0, (1, 0): 2, (0, 1): 1, (1, 1): 3, (2, 2): 12}
 
 
-def test_zorder_by_clusters_both_columns(spark, sf_dir, tmp_path):
-    """After z-ordering on (l_orderkey, l_partkey) and splitting into
-    files, per-file min/max ranges on BOTH columns must be much narrower
-    than the global range — the data-skipping property.  A single-column
-    sort gives narrow ranges on the sort key only."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    z = maintenance.zorder_by(li, ["l_orderkey", "l_partkey"], n_bits=8, n_partitions=8)
-    dest = str(tmp_path / "z")
-    z.write.parquet(dest)
-    stats = (
+def _avg_file_spans(spark, dest):
+    return (
         spark.read.parquet(dest)
         .withColumn("_file", F.input_file_name())
         .groupBy("_file")
@@ -79,14 +71,42 @@ def test_zorder_by_clusters_both_columns(spark, sf_dir, tmp_path):
         .agg(F.avg("ospan").alias("o"), F.avg("pspan").alias("p"), F.count("*").alias("n"))
         .first()
     )
+
+
+def test_zorder_by_clusters_both_columns(spark, sf_dir, tmp_path):
+    """After z-ordering on (l_orderkey, l_partkey) and splitting into
+    files, per-file min/max ranges on BOTH columns must be much narrower
+    than a single-column sort leaves them — the data-skipping property.
+
+    The second column is asserted RELATIVE to the single-column-sort
+    baseline rather than against an absolute fraction of the global
+    span: the old ``< 0.6 * global`` bound measured 0.57–0.59 on this
+    fixture, and repartitionByRange's reservoir sampling (seeded from
+    the RDD id, i.e. session history) jitters the file boundaries a few
+    percent — a marginal absolute threshold flaked once per ~10 full
+    suite runs while the property itself never regressed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = maintenance.zorder_by(li, ["l_orderkey", "l_partkey"], n_bits=8, n_partitions=8)
+    dest = str(tmp_path / "z")
+    z.write.parquet(dest)
+    stats = _avg_file_spans(spark, dest)
+    base_dest = str(tmp_path / "single_sort")
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(base_dest)
+    base = _avg_file_spans(spark, base_dest)
     glob_span = li.agg(
         (F.max("l_orderkey") - F.min("l_orderkey")).alias("o"),
         (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
     ).first()
-    assert stats["n"] > 1  # non-vacuous: multiple files
-    # every z-column's average per-file span is a fraction of global
+    assert stats["n"] > 1 and base["n"] > 1  # non-vacuous: multiple files
+    # the z-curve's first column stays far below the global span...
     assert stats["o"] < 0.6 * glob_span["o"]
-    assert stats["p"] < 0.6 * glob_span["p"]
+    # ...and the second column — which a single-column sort leaves at
+    # ~the full global span per file — must be substantially tighter
+    # than that baseline
+    assert base["p"] > 0.9 * glob_span["p"]  # baseline really is unclustered
+    assert stats["p"] < 0.75 * base["p"]
     # lossless
     assert z.count() == li.count()
 

@@ -225,9 +225,17 @@ def test_interval_join_single_key_shuffle(spark, sf_dir):
 def test_levenshtein_block_join_not_cartesian(spark, sf_dir):
     """Fuzzy matching must plan as an equi-join on the block key — the
     levenshtein predicate is a post-join filter, never a nested loop over
-    all pairs."""
+    all pairs.  The stream side must also keep its explicit fixed-count
+    repartition (REPARTITION_BY_NUM): the relation is tiny in bytes but
+    the probe stage explodes ~100 levenshtein evals per row, and AQE's
+    bytes-based coalescing collapsed it to ONE partition at sf10 (28 s
+    single-threaded of a 30 s cell) before the pin."""
     plan = _final_plan(registry.QUERIES["f9_levenshtein_match"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"REPARTITION_BY_NUM", plan), (
+        "f9's explicit repartition(32, blk) is gone — AQE byte-coalescing "
+        "will single-thread the levenshtein stage at scale"
+    )
 
 
 def test_cube_single_scan_single_shuffle(spark, sf_dir):
