@@ -223,9 +223,24 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     threshold: float = 0.1,
     max_bucket_size: int | None = 256,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard on the candidates only.
+
+    ``corpus_count`` (doc count; parquet-footer row count at the call
+    sites — zero Spark jobs) scales the forced-shuffle_hash partition
+    counts with the corpus.  A shuffle_hash build CANNOT spill, so its
+    per-task build rows are corpus_rows / P — a fixed P makes the build
+    grow linearly with the corpus and eventually throw
+    SparkOutOfMemoryError ("not enough memory to build hash map"; the
+    round-10 THIRD-decade panel hit exactly this at 5M docs / 265M
+    shingle rows / P=32 on an 8g heap).  With corpus_count the verify
+    join's (id, h) relation is explicitly repartitioned to hold
+    ~1M build rows per task and the band self-join to ~2M — bounded
+    per-task memory at ANY corpus size, REPARTITION_BY_NUM so AQE never
+    coalesces it back.  None keeps the session default (fine at
+    oracle/test scales).
 
     rows_per_band = num_hashes / n_bands; two docs collide if any band of
     their signatures is identical.  The band join shuffles on
@@ -289,8 +304,27 @@ def minhash_lsh_pairs(
     # their own build sides explicitly (see the comment there).  Measured
     # at the sf10 decade: the sort-free plan turns the one borderline
     # 1->10 ratio (~11x, n log n on 10x rows) linear.
+    p_band = p_verify = None
+    if corpus_count:
+        default_p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # ~53 measured 2-gram shingles/doc on the fixture corpus, ceiled
+        # to 64.  Target ~256k build rows/task (~16 MB of UnsafeHashedRelation):
+        # with C concurrent tasks the memory manager guarantees a task only
+        # execution_mem / 2C — ~45-90 MB on an 8g local[32] heap — and an
+        # un-spillable build that outgrows its share throws rather than
+        # spills, so the target must fit the GUARANTEED share, not the heap
+        # (1M-row targets still OOM'd the sf100 panel on 8g).
+        shingle_rows_est = corpus_count * 64
+        p_verify = min(8192, -(-shingle_rows_est // 262_144))
+        p_band = min(8192, -(-corpus_count * n_bands // 262_144))
+        # only pin when it WIDENS the join: at small corpora the derived
+        # width is at or under the session default and the explicit
+        # exchange would be pure overhead
+        p_verify = p_verify if p_verify > default_p else None
+        p_band = p_band if p_band > default_p else None
     a = banded.alias("a")
-    b = banded.hint("shuffle_hash").alias("b")
+    b_rel = banded.repartition(p_band, "band_idx", "band_hash") if p_band else banded
+    b = b_rel.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -317,6 +351,10 @@ def minhash_lsh_pairs(
     hs = pairs.select("id", "h")
     hs_a = hs.select(F.col("id").alias("id_a"), "h")
     hs_b = hs.select(F.col("id").alias("id_b"), "h")
+    if p_verify:
+        # bound the un-spillable SHJ build: ~1M (id_b, h) rows per task
+        # regardless of corpus size (see corpus_count in the docstring)
+        hs_b = hs_b.repartition(p_verify, "id_b", "h")
     # Build sides made explicit per join (a hint marks ITS OWN relation as
     # the preferred hash build side; a hint after a join would mark the
     # joined subtree, i.e. the pairs-exploded-by-shingles relation — an

@@ -97,10 +97,17 @@ def x1_minhash_near_dup(spark, sf_dir):
     """X1 MinHash+LSH near-dup pairs (shingle -> 32-hash signature -> 8-band
     bucketing -> candidate join -> exact-Jaccard verify).  Synthetic mutated
     copies are injected so true near-dups exist; recall vs the exact
-    ngram-Jaccard ground truth is asserted in tests/test_ext_operators.py."""
+    ngram-Jaccard ground truth is asserted in tests/test_ext_operators.py.
+    corpus_count (parquet-footer row count, zero jobs) scales the forced-
+    shuffle_hash partition counts so the un-spillable hash builds stay
+    bounded per task at any corpus size — the round-10 sf100 panel OOM'd
+    the verify build at fixed P=32 (see minhash_lsh_pairs docstring)."""
+    from ..catalog import table_row_count
+
     docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(
-        docs, n=2, num_hashes=32, n_bands=8, threshold=0.4
+        docs, n=2, num_hashes=32, n_bands=8, threshold=0.4,
+        corpus_count=table_row_count(sf_dir, "documents"),
     )
 
 

@@ -35,6 +35,18 @@ PARITY_CONF: dict[str, str] = {
 SCALE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # canonical AQE at-scale posture: START every planner-inserted shuffle
+    # wide and let runtime coalescing shrink it by measured bytes, instead
+    # of capping every exchange at spark.sql.shuffle.partitions.  Two
+    # concrete wins (round-10 sf100 panel): (1) reducer-side parallelism
+    # follows data size, so a 100x corpus doesn't funnel through 32
+    # reducers; (2) a join against an explicitly repartitioned relation
+    # (REPARTITION_BY_NUM) co-partitions at the USER's count — with a
+    # fixed-width ENSURE_REQUIREMENTS exchange on the other side, Spark
+    # instead rewrote the user exchange down to the conf width, silently
+    # restoring the un-spillable SHJ build sizes the repartition existed
+    # to bound (minhash verify join: OOM at 5M docs without this).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "2048",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",

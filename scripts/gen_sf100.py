@@ -91,6 +91,8 @@ def main() -> None:
     assert len(perms) == N_REPLICAS + 1, "letter permutations must be distinct"
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    # a 1000-branch UNION ALL trips the default parser depth limit
+    con.execute("SET max_expression_depth TO 10000")
     for t in ("supplier", "documents"):
         dst_t = os.path.join(OUT, f"{t}.parquet")
         con.execute(
