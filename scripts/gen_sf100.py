@@ -70,9 +70,15 @@ def _replica_select(table: str, r: int) -> str:
     upper = string.ascii_uppercase
     off = r * OFF
     if table == "supplier":
+        # lpad width 11, NOT TPC-H's 9: sf100 keys reach 10 digits
+        # (999 * 10M + 1000), and DuckDB's lpad TRUNCATES to the target
+        # width — the first fixture build chopped the last key digit,
+        # collapsing 1M names onto 181k and exploding f9's prefix blocks
+        # quadratically (52.7x measured in the third-decade panel).  A
+        # real corpus at this cardinality widens the id the same way.
         return (
             f"SELECT s_suppkey + {off} AS s_suppkey, "
-            f"'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR), 9, '0') "
+            f"'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR), 11, '0') "
             "AS s_name, s_nationkey, s_acctbal FROM src"
         )
     if table == "documents":
@@ -104,6 +110,14 @@ def main() -> None:
         union = "\nUNION ALL\n".join(parts)
         con.execute(f"COPY ({union}) TO '{dst_t}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM '{dst_t}'").fetchone()[0]
+        if t == "supplier":
+            d = con.execute(
+                f"SELECT COUNT(DISTINCT s_name) FROM '{dst_t}'"
+            ).fetchone()[0]
+            assert d == n, (
+                f"supplier names must stay unique ({d} distinct of {n}): "
+                "a truncating lpad here degenerates f9's prefix blocks"
+            )
         print(f"{t}: {n} rows -> {dst_t}", flush=True)
     dst_e = os.path.join(OUT, "embeddings.parquet")
     n = write_embedding_replicas(
