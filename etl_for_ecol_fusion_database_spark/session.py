@@ -47,6 +47,12 @@ SCALE_CONF: dict[str, str] = {
     # restoring the un-spillable SHJ build sizes the repartition existed
     # to bound (minhash verify join: OOM at 5M docs without this).
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "2048",
+    # without this, AQE may not re-plan a CACHED relation's output stage,
+    # so persist() materializes at the full initialPartitionNum width —
+    # x9_curation_v2's 2-column cached survivors relation became 2048
+    # tiny blocks + 2048-task downstream scans (0.5 -> 3.4 s at sf0.1)
+    # until the cache was allowed to coalesce like every other stage
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
