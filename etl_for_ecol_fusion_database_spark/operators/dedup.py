@@ -235,12 +235,18 @@ def minhash_lsh_pairs(
     grow linearly with the corpus and eventually throw
     SparkOutOfMemoryError ("not enough memory to build hash map"; the
     round-10 THIRD-decade panel hit exactly this at 5M docs / 265M
-    shingle rows / P=32 on an 8g heap).  With corpus_count the verify
-    join's (id, h) relation is explicitly repartitioned to hold
-    ~1M build rows per task and the band self-join to ~2M — bounded
-    per-task memory at ANY corpus size, REPARTITION_BY_NUM so AQE never
-    coalesces it back.  None keeps the session default (fine at
-    oracle/test scales).
+    shingle rows / P=32 on an 8g heap).  With corpus_count, BOTH sides of
+    the band self-join and of the shingle verify join are explicitly
+    repartitioned to hold ~256k build rows per task — bounded per-task
+    memory at ANY corpus size.  Both sides, not just the build: with only
+    one side user-width, EnsureRequirements co-partitions the join by
+    rewriting the user exchange back down to the session width
+    (measured), silently restoring the corpus-linear build.  The pins
+    replace exchanges the plan needed anyway (the band width rides the
+    bucket-cap window's exchange; the verify width replaces the
+    ENSURE_REQUIREMENTS shuffle on the same keys), so they cost no extra
+    shuffle, and REPARTITION_BY_NUM is never AQE-coalesced.  None keeps
+    the session default (fine at oracle/test scales).
 
     rows_per_band = num_hashes / n_bands; two docs collide if any band of
     their signatures is identical.  The band join shuffles on
@@ -286,6 +292,34 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    p_band = p_verify = None
+    if corpus_count:
+        default_p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # ~53 measured 2-gram shingles/doc on the fixture corpus, ceiled
+        # to 64.  Target ~256k build rows/task (~16 MB of
+        # UnsafeHashedRelation): with C concurrent tasks the memory
+        # manager only GUARANTEES a task execution_mem / 2C — ~45-90 MB
+        # on an 8g local[32] heap — and an un-spillable build that
+        # outgrows its share throws rather than spills, so the target
+        # must fit the guaranteed share, not the heap.
+        shingle_rows_est = corpus_count * 64
+        p_verify = min(8192, -(-shingle_rows_est // 262_144))
+        p_band = min(8192, -(-corpus_count * n_bands // 262_144))
+        # only pin when it WIDENS the join: at small corpora the derived
+        # width is at or under the session default and the explicit
+        # exchange would be pure overhead
+        p_verify = p_verify if p_verify > default_p else None
+        p_band = p_band if p_band > default_p else None
+    if p_band:
+        # user-width exchange BELOW the bucket-size window: the window
+        # needs a (band_idx, band_hash) hash exchange anyway, and both
+        # self-join sides read this same subtree (exchange reuse), so the
+        # width pin costs ZERO extra shuffles.  Pinning both sides matters:
+        # with only one side user-width, EnsureRequirements co-partitions
+        # the join by rewriting the user exchange back to the session
+        # width — measured, and it silently restores the un-spillable SHJ
+        # build sizes this exists to bound (sf100 OOM).
+        banded = banded.repartition(p_band, "band_idx", "band_hash")
     if max_bucket_size is not None:
         # window count reuses the (band_idx, band_hash) hash partitioning the
         # self-join needs anyway — no extra shuffle, no collect
@@ -304,27 +338,8 @@ def minhash_lsh_pairs(
     # their own build sides explicitly (see the comment there).  Measured
     # at the sf10 decade: the sort-free plan turns the one borderline
     # 1->10 ratio (~11x, n log n on 10x rows) linear.
-    p_band = p_verify = None
-    if corpus_count:
-        default_p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # ~53 measured 2-gram shingles/doc on the fixture corpus, ceiled
-        # to 64.  Target ~256k build rows/task (~16 MB of UnsafeHashedRelation):
-        # with C concurrent tasks the memory manager guarantees a task only
-        # execution_mem / 2C — ~45-90 MB on an 8g local[32] heap — and an
-        # un-spillable build that outgrows its share throws rather than
-        # spills, so the target must fit the GUARANTEED share, not the heap
-        # (1M-row targets still OOM'd the sf100 panel on 8g).
-        shingle_rows_est = corpus_count * 64
-        p_verify = min(8192, -(-shingle_rows_est // 262_144))
-        p_band = min(8192, -(-corpus_count * n_bands // 262_144))
-        # only pin when it WIDENS the join: at small corpora the derived
-        # width is at or under the session default and the explicit
-        # exchange would be pure overhead
-        p_verify = p_verify if p_verify > default_p else None
-        p_band = p_band if p_band > default_p else None
     a = banded.alias("a")
-    b_rel = banded.repartition(p_band, "band_idx", "band_hash") if p_band else banded
-    b = b_rel.hint("shuffle_hash").alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -352,7 +367,7 @@ def minhash_lsh_pairs(
     hs_a = hs.select(F.col("id").alias("id_a"), "h")
     hs_b = hs.select(F.col("id").alias("id_b"), "h")
     if p_verify:
-        # bound the un-spillable SHJ build: ~1M (id_b, h) rows per task
+        # bound the un-spillable SHJ build: ~256k (id_b, h) rows per task
         # regardless of corpus size (see corpus_count in the docstring)
         hs_b = hs_b.repartition(p_verify, "id_b", "h")
     # Build sides made explicit per join (a hint marks ITS OWN relation as
@@ -365,9 +380,17 @@ def minhash_lsh_pairs(
     #           (id_b, h) shuffle is corpus_shingles / P — the standard
     #           SHJ bound, and skew-free because h is ~unique per doc so
     #           the composite key has no hot values.
+    probe1 = hs_a.join(cand.select("id_a", "id_b").hint("shuffle_hash"), "id_a")
+    if p_verify:
+        # pin the PROBE side to the same user width as hs_b: with only
+        # one side user-width, EnsureRequirements co-partitions the join
+        # by rewriting the user exchange back to the session width —
+        # measured, and it restores the corpus-linear build this bounds.
+        # This exchange replaces (same keys) the one the join needed
+        # anyway, so the pin costs no extra shuffle.
+        probe1 = probe1.repartition(p_verify, "id_b", "h")
     inter = (
-        hs_a.join(cand.select("id_a", "id_b").hint("shuffle_hash"), "id_a")
-        .join(hs_b.hint("shuffle_hash"), ["id_b", "h"])
+        probe1.join(hs_b.hint("shuffle_hash"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

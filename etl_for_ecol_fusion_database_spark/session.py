@@ -35,24 +35,19 @@ PARITY_CONF: dict[str, str] = {
 SCALE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # canonical AQE at-scale posture: START every planner-inserted shuffle
-    # wide and let runtime coalescing shrink it by measured bytes, instead
-    # of capping every exchange at spark.sql.shuffle.partitions.  Two
-    # concrete wins (round-10 sf100 panel): (1) reducer-side parallelism
-    # follows data size, so a 100x corpus doesn't funnel through 32
-    # reducers; (2) a join against an explicitly repartitioned relation
-    # (REPARTITION_BY_NUM) co-partitions at the USER's count — with a
-    # fixed-width ENSURE_REQUIREMENTS exchange on the other side, Spark
-    # instead rewrote the user exchange down to the conf width, silently
-    # restoring the un-spillable SHJ build sizes the repartition existed
-    # to bound (minhash verify join: OOM at 5M docs without this).
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "2048",
-    # without this, AQE may not re-plan a CACHED relation's output stage,
-    # so persist() materializes at the full initialPartitionNum width —
-    # x9_curation_v2's 2-column cached survivors relation became 2048
-    # tiny blocks + 2048-task downstream scans (0.5 -> 3.4 s at sf0.1)
-    # until the cache was allowed to coalesce like every other stage
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # NOTE on the AQE wide-start posture (initialPartitionNum >> conf):
+    # round 10 trialled it globally at 2048 to keep the sf100 MinHash
+    # SHJ builds bounded, and it worked — but it taxed EVERY small-scale
+    # exchange ~0.2-0.5 s (map side writes 2048 buckets; cached plans
+    # materialized at full width until canChangeCachedPlanOutputPartitioning
+    # was also flipped), a +5% sf0.1 bench headline for a property only
+    # the corpus-scaled joins need.  The engine instead pins BOTH sides
+    # of those joins to corpus-derived REPARTITION_BY_NUM widths
+    # (operators/dedup.minhash_lsh_pairs corpus_count) — user exchanges
+    # on both sides co-partition at the user width with no session-wide
+    # cost.  On a real cluster, size spark.sql.shuffle.partitions (or
+    # re-add initialPartitionNum) for the data; locally the conf default
+    # stays CPU-count.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
