@@ -249,30 +249,51 @@ def _fold_argmin_d2(v, cent):
 
 
 def assign_clusters_auto(
-    df: DataFrame, vec_col: str, centroids: list[list[float]]
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    row_count_hint: int | None = None,
 ) -> DataFrame:
     """Dispatch between the bit-identical assignment engines: the
     matmul-pruned Arrow kernel (:func:`assign_clusters_batched`) when its
-    deps import, else the inlined-fold JVM path (:func:`assign_clusters`).
+    deps import and the work justifies an Arrow pass, else the
+    inlined-fold JVM path (:func:`assign_clusters`).
 
-    Round-10 rationale for dispatching at ANY k (the old policy reserved
-    the kernel for k > 32): Catalyst never codegens higher-order
-    functions, so even a k=8 inline assignment pays 2 interpreted lambda
-    evaluations per (row, centroid, dim index) — at sf10 that made
-    x8_kmeans_clusters' 4 assignment passes a 49 s head and the IVF-PQ
-    coarse+code argmins ~27 s each.  The kernel's winners are pinned
-    bit-identical to the folds (including duplicate-centroid and exact-
-    tie cases, tests/test_round10_kernels.py), so every DuckDB-oracle
-    replay is unaffected by which engine runs."""
-    if len(centroids) > 1:
-        try:
-            import numpy  # noqa: F401 — Arrow kernel deps, probed only
-            import pandas  # noqa: F401
-            import pyarrow  # noqa: F401
+    Why not always Arrow (round-10 bench data): Catalyst never codegens
+    higher-order functions, so a k=8 inline assignment pays 2 interpreted
+    lambda evaluations per (row, centroid, dim index) — at sf10's 200k
+    rows that made x8_kmeans_clusters' 4 assignment passes a 49 s head
+    (14 s on the kernel).  But at SMALL N the Arrow pass itself (python
+    worker spin-up + Arrow serialization per pass) costs more than the
+    interpreted folds — kmeans_elbow's many tiny passes regressed 26% at
+    sf0.1 under always-Arrow.  Dispatch: Arrow when k > 32 (the r09
+    policy — k inlined expressions stop fitting one projection) OR when
+    ``row_count_hint`` puts N x k x dim above ~5e7 interpreted steps
+    (parquet-footer row counts at the call sites — zero Spark jobs).
+    The ~1e6-step breakeven comes from the measured constants: one Arrow
+    pass costs ~0.2-0.4 s (python worker round-trip + serialization) and
+    one interpreted fold step ~0.3-0.5 us, so kmeans_elbow's many tiny
+    passes (<=0.8e6 steps each) stay inline while the IVF coarse argmin
+    at 10x data (2e8 steps) takes the kernel.  The kernel's winners are
+    pinned bit-identical to the folds (including duplicate-centroid and
+    exact-tie cases, tests/test_round10_kernels.py), so every
+    DuckDB-oracle replay is unaffected by which engine runs."""
+    k = len(centroids)
+    if k > 1:
+        dim = len(centroids[0]) or 1
+        big = k > 32 or (
+            row_count_hint is not None and row_count_hint * k * dim > 1_000_000
+        )
+        if big:
+            try:
+                import numpy  # noqa: F401 — Arrow kernel deps, probed only
+                import pandas  # noqa: F401
+                import pyarrow  # noqa: F401
 
-            return assign_clusters_batched(df, vec_col, centroids)
-        except ImportError:
-            pass
+                return assign_clusters_batched(df, vec_col, centroids)
+            except ImportError:
+                pass
     return assign_clusters(df, vec_col, centroids)
 
 
@@ -425,6 +446,7 @@ def kmeans_fit(
     k: int = 8,
     n_iter: int = 5,
     round_dp: int | None = None,
+    row_count_hint: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's k-means: returns (centroids, assignments DataFrame with
     (id, cluster)).  Init = the vectors of the ``k`` smallest ids
@@ -455,7 +477,9 @@ def kmeans_fit(
     else:
         mean_expr = snap_expr(F.avg("x"), round_dp)
     for _ in range(n_iter):
-        assigned = assign_clusters_auto(base, "v", centroids)
+        assigned = assign_clusters_auto(
+            base, "v", centroids, row_count_hint=row_count_hint
+        )
         means = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -469,7 +493,9 @@ def kmeans_fit(
         for ci, dims in by_cluster.items():
             new_c[ci] = [dims[p] for p in sorted(dims)]
         centroids = new_c
-    return centroids, assign_clusters_auto(base, "v", centroids).select(
+    return centroids, assign_clusters_auto(
+        base, "v", centroids, row_count_hint=row_count_hint
+    ).select(
         F.col("id"), F.col("cluster")
     )
 

@@ -275,9 +275,12 @@ def x8_kmeans_clusters(spark, sf_dir):
     same loop unrolled."""
     from ..operators import clustering
 
+    from ..catalog import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
     _, assign = clustering.kmeans_fit(
-        emb, "vec_id", "embedding", k=8, n_iter=3, round_dp=6
+        emb, "vec_id", "embedding", k=8, n_iter=3, round_dp=6,
+        row_count_hint=table_row_count(sf_dir, "embeddings"),
     )
     return assign.select(F.col("id").alias("vec_id"), "cluster").orderBy("vec_id")
 

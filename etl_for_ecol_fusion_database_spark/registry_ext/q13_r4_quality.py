@@ -489,9 +489,12 @@ def _ivf_pq_search(spark, sf_dir, index_sink: str | None = None):
             + [StructField(f"d_{j}_{c}", DoubleType()) for j in range(4) for c in range(4)]
         ),
     )
-    cells = clustering.assign_clusters_auto(emb, "v", cents).select(
-        "vec_id", F.col("cluster").alias("cell")
-    )
+    from ..catalog import table_row_count
+
+    n_rows = table_row_count(sf_dir, "embeddings")
+    cells = clustering.assign_clusters_auto(
+        emb, "v", cents, row_count_hint=n_rows
+    ).select("vec_id", F.col("cluster").alias("cell"))
     wide = (
         clustering.pq_encode(emb, "vec_id", "v", codebooks, sub_dim=16)
         .groupBy("id")
