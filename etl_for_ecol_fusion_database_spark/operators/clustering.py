@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _sq_dist(vec_col: str, centroid: list[float]):
@@ -269,7 +270,7 @@ def assign_clusters_auto(
     interpreted folds — kmeans_elbow's many tiny passes regressed 26% at
     sf0.1 under always-Arrow.  Dispatch: Arrow when k > 32 (the r09
     policy — k inlined expressions stop fitting one projection) OR when
-    ``row_count_hint`` puts N x k x dim above ~5e7 interpreted steps
+    ``row_count_hint`` puts N x k x dim above ~1e6 interpreted steps
     (parquet-footer row counts at the call sites — zero Spark jobs).
     The ~1e6-step breakeven comes from the measured constants: one Arrow
     pass costs ~0.2-0.4 s (python worker round-trip + serialization) and
@@ -542,7 +543,14 @@ def pq_encode(
             import pandas  # noqa: F401
             import pyarrow  # noqa: F401
 
-            use_arrow = True
+            # the Arrow kernel round-trips ids through numpy — only
+            # integral ids are guaranteed lossless AND schema-identical
+            # to the fold union plan, so auto never diverges on exotic
+            # id types (string/decimal ids take the fold path)
+            use_arrow = isinstance(
+                df.schema[id_col].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            )
         except ImportError:
             use_arrow = False
     if use_arrow:
@@ -579,14 +587,16 @@ def _pq_encode_arrow(
     bit-identical to the JVM union plan (pinned in
     tests/test_round10_kernels.py)."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     m = len(books)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    # preserve the id column's own type so the Arrow plan's schema is
+    # identical to the fold union plan's for every integral id width
     out_schema = StructType(
         [
-            StructField("id", LongType()),
+            StructField("id", df.schema[id_col].dataType),
             StructField("subspace", IntegerType()),
             StructField("code", IntegerType()),
         ]
@@ -599,7 +609,7 @@ def _pq_encode_arrow(
             if len(pdf) == 0:
                 continue
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
-            ids = pdf["id"].to_numpy(dtype=np.int64)
+            ids = pdf["id"].to_numpy()  # native width — matches out_schema
             n = v.shape[0]
             codes = np.empty((m, n), dtype=np.int32)
             for j in range(m):

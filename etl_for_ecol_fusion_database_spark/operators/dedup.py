@@ -224,13 +224,19 @@ def minhash_lsh_pairs(
     threshold: float = 0.1,
     max_bucket_size: int | None = 256,
     corpus_count: int | None = None,
+    shingles_per_doc_est: int = 64,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact Jaccard on the candidates only.
 
     ``corpus_count`` (doc count; parquet-footer row count at the call
-    sites — zero Spark jobs) scales the forced-shuffle_hash partition
-    counts with the corpus.  A shuffle_hash build CANNOT spill, so its
+    sites — zero Spark jobs; callers must count the corpus ACTUALLY
+    deduped, including any injected rows) scales the forced-shuffle_hash
+    partition counts with the corpus.  ``shingles_per_doc_est`` sizes the
+    verify-join pins (default 64 ≈ the fixture corpus's measured ~53
+    2-gram shingles/doc, ceiled); corpora with longer documents should
+    pass their own estimate — over-estimating costs only extra (cheap)
+    partitions, under-estimating re-grows the un-spillable build.  A shuffle_hash build CANNOT spill, so its
     per-task build rows are corpus_rows / P — a fixed P makes the build
     grow linearly with the corpus and eventually throw
     SparkOutOfMemoryError ("not enough memory to build hash map"; the
@@ -294,15 +300,24 @@ def minhash_lsh_pairs(
     )
     p_band = p_verify = None
     if corpus_count:
-        default_p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # ~53 measured 2-gram shingles/doc on the fixture corpus, ceiled
-        # to 64.  Target ~256k build rows/task (~16 MB of
+        # non-numeric on some vendor runtimes (e.g. "auto") — treat as 0 so
+        # the sizing pins always apply rather than failing the query
+        try:
+            default_p = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            default_p = 0
+        # shingles_per_doc_est defaults to 64 (~53 measured 2-gram
+        # shingles/doc on the fixture corpus, ceiled) — a parameter so
+        # long-document corpora can provision honestly.  Target ~256k
+        # build rows/task (~16 MB of
         # UnsafeHashedRelation): with C concurrent tasks the memory
         # manager only GUARANTEES a task execution_mem / 2C — ~45-90 MB
         # on an 8g local[32] heap — and an un-spillable build that
         # outgrows its share throws rather than spills, so the target
         # must fit the guaranteed share, not the heap.
-        shingle_rows_est = corpus_count * 64
+        shingle_rows_est = corpus_count * shingles_per_doc_est
         p_verify = min(8192, -(-shingle_rows_est // 262_144))
         p_band = min(8192, -(-corpus_count * n_bands // 262_144))
         # only pin when it WIDENS the join: at small corpora the derived
@@ -962,6 +977,7 @@ def semantic_dedup(
     *,
     threshold: float = 0.95,
     pair_kernel: str = "auto",
+    row_count_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cluster every vector to its nearest centroid, compute exact pairwise
@@ -1040,7 +1056,13 @@ def semantic_dedup(
                 base, "v", centroids, "id"
             )
     else:
-        assigned = clustering.assign_clusters(base, "v", centroids)
+        # k <= 32: defer to the measured size-aware dispatch — Arrow when
+        # row_count_hint puts N x k x dim past the ~1e6-step breakeven
+        # (SemDeDup call sites have parquet-footer counts for free), else
+        # the inline codegen folds.  All engines pinned bit-identical.
+        assigned = clustering.assign_clusters_auto(
+            base, "v", centroids, row_count_hint=row_count_hint
+        )
     # Materialize (id, cluster, nrm, v) once: the relation feeds BOTH join
     # sides plus the final anti-join, and without the barrier each consumer
     # re-evaluates the k x dim assignment expression (measured 5.5x on the
@@ -1057,8 +1079,16 @@ def semantic_dedup(
             import numpy  # noqa: F401 — Arrow kernel deps, probed only
             import pandas  # noqa: F401
             import pyarrow  # noqa: F401
+            from pyspark.sql import types as _T
 
-            use_arrow = True
+            # the Arrow kernel sorts/round-trips ids through numpy — only
+            # integral ids guarantee the same a.id < b.id ordering and a
+            # lossless round-trip, so auto falls back to the fold path
+            # for exotic id types rather than risking divergence
+            use_arrow = isinstance(
+                withn.schema["id"].dataType,
+                (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+            )
         except ImportError:
             use_arrow = False
     if use_arrow:
@@ -1110,15 +1140,19 @@ def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
     by at most 5e-7): no pair the fold path would keep can be prefiltered
     away.  Pairs honor ``a.id < b.id`` via a strict upper triangle in id
     order; zero-norm rows produce NaN/Inf raw cosines exactly as the fold
-    does and resolve in the shared Spark-side decision.  Work per cluster
+    does, and the prefilter drops NaN pairs (``cos >= margin`` is False
+    for NaN) — identically to the fold path, whose null-filtering
+    decision also never keeps a NaN cosine.  Work per cluster
     is |c|^2 x dim (the SemDeDup recipe's own bound); the row blocking
     caps task memory at 2048 x |c| doubles under cluster skew."""
     import numpy as np
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
+    # preserve the id column's own (integral — dispatch-gated) type so the
+    # Arrow plan's output schema matches the fold path's exactly
     out_schema = StructType(
         [
-            StructField("id", LongType()),
+            StructField("id", withn.schema["id"].dataType),
             StructField("_raw_cosine", DoubleType()),
         ]
     )
@@ -1131,12 +1165,13 @@ def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
         if n < 2:
             return pd.DataFrame(
                 {
-                    "id": np.empty(0, dtype=np.int64),
+                    "id": pdf["id"].iloc[:0],
                     "_raw_cosine": np.empty(0, dtype=np.float64),
                 }
             )
-        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
-        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        ids = pdf["id"].to_numpy()  # native width — matches out_schema
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
         v = np.stack(
             [np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()[order]]
@@ -1160,7 +1195,7 @@ def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
         if not out_ids:
             return pd.DataFrame(
                 {
-                    "id": np.empty(0, dtype=np.int64),
+                    "id": pdf["id"].iloc[:0],
                     "_raw_cosine": np.empty(0, dtype=np.float64),
                 }
             )

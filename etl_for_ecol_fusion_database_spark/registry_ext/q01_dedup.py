@@ -105,9 +105,13 @@ def x1_minhash_near_dup(spark, sf_dir):
     from ..catalog import table_row_count
 
     docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
+    # count the corpus ACTUALLY deduped: base footer count plus the 20
+    # injected synthetic near-dups (constant by construction in
+    # _with_synthetic_near_dups), so the SHJ-bounding pins never
+    # under-provision relative to the true input
     return dedup.minhash_lsh_pairs(
         docs, n=2, num_hashes=32, n_bands=8, threshold=0.4,
-        corpus_count=table_row_count(sf_dir, "documents"),
+        corpus_count=table_row_count(sf_dir, "documents") + 20,
     )
 
 

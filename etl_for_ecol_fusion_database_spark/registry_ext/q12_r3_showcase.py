@@ -1349,6 +1349,9 @@ def x8_kmeans_assign(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds = [v for _, v in _embedding_head(spark, sf_dir, 4)]
+    # deliberately the inline-fold engine (not _auto): this query IS the
+    # oracle-checked witness for the fold math itself, so N is irrelevant
+    # to the engine choice by design
     return clustering.assign_clusters(emb, "v", seeds).select("vec_id", "cluster")
 
 
@@ -1992,7 +1995,8 @@ def x1_semdedup(spark, sf_dir):
     k = min(max(16, n // 125), n)
     seeds = [v for _, v in _embedding_head(spark, sf_dir, k)]
     return dedup_ops.semantic_dedup(
-        emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3
+        emb, seeds, id_col="vec_id", vec_col="v", threshold=0.3,
+        row_count_hint=n,
     ).select(F.col("id").alias("vec_id"), "cluster")
 
 

@@ -590,3 +590,43 @@ def test_data_quality_fk_check_never_broadcasts_fact_parent(spark, sf_dir):
     plan = _final_plan(registry.QUERIES["x12_data_quality"](spark, sf_dir))
     assert re.search(r"ShuffledHashJoin .*LeftAnti", plan), plan[:600]
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_width_pins_are_noops_at_small_corpus(spark, sf_dir):
+    """The corpus-derived SHJ-bounding pins (operators/dedup.
+    minhash_lsh_pairs corpus_count) must only fire when the derived width
+    EXCEEDS the session shuffle width: at small corpora the explicit
+    REPARTITION_BY_NUM exchange would be pure overhead, and a refactor
+    that makes the pins unconditional silently taxes every small-scale
+    run.  Conversely a forced-large corpus_count MUST plant the pins —
+    they are the sf100 OOM fix (un-spillable SHJ builds grow corpus-linear
+    at fixed partition count)."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # small corpus: derived widths (ceil(n*64/262144), ceil(n*8/262144))
+    # land at or under the session default -> both pins must be absent
+    small = dedup.minhash_lsh_pairs(
+        docs, n=2, num_hashes=32, n_bands=8, threshold=0.4, corpus_count=100
+    )
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan_small, (
+        "minhash width pins fired at a 100-doc corpus — the pins must be "
+        "no-ops when the derived width <= the session shuffle width"
+    )
+
+    # forced-large corpus: both the band join and the verify join must be
+    # explicitly width-pinned (REPARTITION_BY_NUM survives AQE coalescing)
+    big = dedup.minhash_lsh_pairs(
+        docs, n=2, num_hashes=32, n_bands=8, threshold=0.4,
+        corpus_count=50_000_000,
+    )
+    plan_big = big._jdf.queryExecution().optimizedPlan().toString()
+    n_pins = len(set(re.findall(r"RepartitionByExpression \[\w+", plan_big)))
+    # band pin (band_idx, band_hash) on both self-join sides + verify pin
+    # (id, shingle-hash) on both verify sides -> >= 2 DISTINCT pin keys
+    assert n_pins >= 2, (
+        f"expected band + verify width pins at a 50M-doc corpus, found "
+        f"{n_pins} distinct RepartitionByExpression keys\n{plan_big[:800]}"
+    )
