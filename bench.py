@@ -297,6 +297,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # machine-load telemetry (VERDICT r10 item #5): the driver sheet runs on
+    # a possibly-contended machine while the committed idle panels do not,
+    # and a +6% sheet vs -10% idle divergence cost the r10 verdict an hour
+    # of disambiguation.  Recording the 1/5/15-min load averages before and
+    # after the run makes every sheet carry its own contention evidence.
+    try:
+        load_pre = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_pre = None
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     shuffle_bytes: dict[str, dict[str, int]] = {}
@@ -389,6 +399,11 @@ def main() -> None:
     timings["ingest_copy"] = ingest_sec
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    try:
+        load_post = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_post = None
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -414,6 +429,9 @@ def main() -> None:
         "sf": sf_val,
         "ingest_rows": n_rows,
         "ingest_rows_per_sec": rows_per_sec,
+        "loadavg_pre": load_pre,
+        "loadavg_post": load_post,
+        "cpu_count": os.cpu_count(),
         "errors": errors,
     }
     try:
@@ -434,6 +452,11 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "ingest_rps": rows_per_sec,
+        # 1-min load average at start/end: a pre-load near cpu_count means
+        # the sheet ran contended and its timings are not comparable to the
+        # committed idle panels (BASELINE.md noise-floor protocol)
+        "load1_pre": load_pre[0] if load_pre else None,
+        "load1_post": load_post[0] if load_post else None,
     }
     if errors:
         payload["errors_count"] = len(errors)
