@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: registry queries timed by the harness (each materialized via count())
+#: registry queries timed by the harness (each run materialized via the
+#: mode in MATERIALIZE below)
 HEADLINE = [
     "flagship_valid_cohort",
     "fusion_etl_collisions",
@@ -196,6 +197,25 @@ PINNED_PANEL = [
     "x3_grouped_median",
 ]
 
+#: materialization used for every timed run.  "noop" (default, round 11+)
+#: writes to Spark's built-in no-op sink: every output column is fully
+#: computed and the plan cannot be pruned.  "count" (rounds 1-10) is kept
+#: for protocol-continuity comparisons, but UNDER-measures aggregate-shaped
+#: queries: Catalyst prunes aggregate-function evaluation under count()
+#: (q1_pricing_summary 0.36 s count vs 2.28 s noop at sf0.1; a bare 1-row
+#: aggregate prunes to a zero-column scan — docs/PROBE_PROFILE_SKETCH_r11
+#: .json).  The JSON line carries the mode so sheets are never compared
+#: across protocols.
+MATERIALIZE = os.environ.get("SPARK_GRAFT_MATERIALIZE", "noop")
+
+
+def _materialize(df) -> None:
+    if MATERIALIZE == "count":
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+
+
 #: timed runs per query; the reported figure is the MEDIAN.  Round-4/5
 #: single-shot timings produced ±0.5 s phantom swings in both directions
 #: from run-order noise alone; the median of 3 makes two consecutive bench
@@ -332,7 +352,7 @@ def main() -> None:
             continue
         if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
             try:
-                fn(spark, warm_dir).count()
+                _materialize(fn(spark, warm_dir))
             except Exception:
                 pass
         # one broken query must not void the whole bench (a round-2 bench
@@ -352,7 +372,7 @@ def main() -> None:
             for _ in range(HEAVY_WARMUP_RUNS):
                 try:
                     _gc_barrier(spark)
-                    fn(spark, SF_DIR).count()
+                    _materialize(fn(spark, SF_DIR))
                 except Exception:
                     break
         runs: list[float] = []
@@ -364,7 +384,7 @@ def main() -> None:
                 _gc_barrier(spark)
             t0 = time.perf_counter()
             try:
-                fn(spark, SF_DIR).count()
+                _materialize(fn(spark, SF_DIR))
             except Exception as exc:  # noqa: BLE001 - report, don't die
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 failed = True
@@ -429,6 +449,7 @@ def main() -> None:
         "sf": sf_val,
         "ingest_rows": n_rows,
         "ingest_rows_per_sec": rows_per_sec,
+        "materialize": MATERIALIZE,
         "loadavg_pre": load_pre,
         "loadavg_post": load_post,
         "cpu_count": os.cpu_count(),
@@ -452,6 +473,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "ingest_rps": rows_per_sec,
+        "mat": MATERIALIZE,
         # 1-min load average at start/end: a pre-load near cpu_count means
         # the sheet ran contended and its timings are not comparable to the
         # committed idle panels (BASELINE.md noise-floor protocol)

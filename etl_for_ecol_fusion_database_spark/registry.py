@@ -1033,15 +1033,25 @@ def x3_profile_sketch(spark, sf_dir):
     statistics and the sketch accuracy.  Exact `percentile` matches DuckDB's
     percentile_cont (same (n-1)p linear interpolation)."""
     l = _t(spark, sf_dir, "lineitem")
-    # distinct counts and percentiles in SEPARATE aggregates: the two
-    # count-distincts plan through an Expand (3x row multiplication) and
-    # dragging the percentile buffers through that expand tripled their
-    # work (28s at sf0.1 in one agg; ~3s split).  Two 1-row results
-    # recombine with a broadcast cross join.
+    # THREE separate 1-row aggregates recombined with broadcast cross
+    # joins — each one-pass and shuffle-light on its own:
+    # - exact distincts and percentiles apart (r04): dragging percentile
+    #   buffers through the count-distinct Expand tripled their work
+    #   (28s at sf0.1 in one agg; ~3s split).
+    # - HLL sketches apart from the exact distincts (r11): mixing them
+    #   makes RewriteDistinctAggregates evaluate approx_count_distinct
+    #   INSIDE the Expand's first keyed aggregate — per (orderkey,
+    #   partkey, gid) GROUP, i.e. ~1.3M live 800-word HLL buffers at
+    #   sf0.1 (~40% of the query; unbounded per-executor state at
+    #   corpus scale).  Split out, each sketch is one map-side partial
+    #   per partition — constant memory, the property the sketch exists
+    #   for (measured 5.4s -> 3.3s fresh-plan median at sf0.1).
     cards = l.agg(
         F.countDistinct("l_orderkey").cast("double").alias("orders_exact"),
-        F.approx_count_distinct("l_orderkey", 0.02).cast("double").alias("orders_approx"),
         F.countDistinct("l_partkey").cast("double").alias("parts_exact"),
+    )
+    sketches = l.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).cast("double").alias("orders_approx"),
         F.approx_count_distinct("l_partkey", 0.02).cast("double").alias("parts_approx"),
     )
     pcts = l.agg(
@@ -1056,7 +1066,7 @@ def x3_profile_sketch(spark, sf_dir):
         .cast("double")
         .alias("price_approx"),
     )
-    agg = cards.crossJoin(F.broadcast(pcts))
+    agg = cards.crossJoin(F.broadcast(sketches)).crossJoin(F.broadcast(pcts))
     unpivoted = agg.select(
         F.expr(
             "stack(4, "
