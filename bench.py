@@ -256,6 +256,23 @@ N_RUNS_HEAVY = 5
 HEAVY_WARMUP_RUNS = 4
 
 
+def _cpu_calibration() -> float:
+    """Single-thread CPU calibration: seconds for 1M chained sha256 digests.
+
+    Rounds run on different VMs/hosts; the r11 count-protocol panel
+    measured a uniform ~1.23x median slowdown vs r09 on UNTOUCHED
+    queries — hardware drift, not code.  A fixed pure-CPU workload
+    recorded with every sheet lets cross-round comparisons normalize
+    out the machine instead of mis-attributing it to the engine."""
+    import hashlib
+
+    x = b"calibration"
+    t0 = time.perf_counter()
+    for _ in range(1_000_000):
+        x = hashlib.sha256(x).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _gc_barrier(spark) -> None:
     """Force a JVM collection outside the timing window (best-effort)."""
     try:
@@ -326,6 +343,7 @@ def main() -> None:
         load_pre = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_pre = None
+    cal_sec = _cpu_calibration()
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -450,6 +468,7 @@ def main() -> None:
         "ingest_rows": n_rows,
         "ingest_rows_per_sec": rows_per_sec,
         "materialize": MATERIALIZE,
+        "cal_sha256_1m_sec": cal_sec,
         "loadavg_pre": load_pre,
         "loadavg_post": load_post,
         "cpu_count": os.cpu_count(),
@@ -474,6 +493,7 @@ def main() -> None:
         "sf": sf_val,
         "ingest_rps": rows_per_sec,
         "mat": MATERIALIZE,
+        "cal": cal_sec,
         # 1-min load average at start/end: a pre-load near cpu_count means
         # the sheet ran contended and its timings are not comparable to the
         # committed idle panels (BASELINE.md noise-floor protocol)
