@@ -41,14 +41,40 @@ def countmin_build(
     width: int = 256,
 ) -> DataFrame:
     """Build the sketch from one row per token OCCURRENCE: returns
-    (row, bucket, n) — the dense counter table in long form."""
-    exploded = occurrences.select(
+    (row, bucket, n) — the dense counter table in long form.
+
+    Pre-aggregates to per-token counts first (round 11): counters are
+    additive, so the bucket hash family evaluates once per DISTINCT
+    token instead of once per occurrence — hash cost scales with the
+    vocabulary, not the corpus, and the map-side combine shrinks the
+    (row, bucket) shuffle input the same way.  Counter values are
+    identical (integer sums)."""
+    counts = occurrences.groupBy(token_col).agg(F.count(F.lit(1)).alias("n"))
+    return countmin_build_weighted(
+        counts, token_col, "n", depth=depth, width=width
+    )
+
+
+def countmin_build_weighted(
+    token_counts: DataFrame,
+    token_col: str = "token",
+    count_col: str = "n",
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the sketch from pre-aggregated (token, count) rows — the
+    shape callers that already hold per-token counts should use, so the
+    token stream is scanned exactly once (counters are additive, so
+    folding counts is bit-identical to folding occurrences)."""
+    exploded = token_counts.select(
+        F.col(count_col).alias("_n"),
         F.posexplode(F.array(*_bucket_exprs(token_col, depth, width))).alias(
             "row", "bucket"
-        )
+        ),
     )
     return exploded.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+        F.sum("_n").alias("n")
     )
 
 

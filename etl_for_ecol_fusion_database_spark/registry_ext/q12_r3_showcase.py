@@ -1015,9 +1015,18 @@ def x11_countmin_freq(spark, sf_dir):
         .select(F.explode(F.split(normalize_text("text"), r"\s+")).alias("token"))
         .filter(F.col("token") != "")
     )
-    sketch = sketches.countmin_build(occ, depth=4, width=256)
-    true_counts = occ.groupBy("token").agg(
-        F.count(F.lit(1)).alias("true_count")
+    # ONE extraction pass: per-token counts feed the sketch (weighted
+    # fold — counters are additive, bit-identical), the probe head, and
+    # the truth column; the barrier is vocabulary-sized, so neither
+    # consumer re-tokenizes the corpus (round 11; the old shape scanned
+    # and re-hashed every occurrence twice)
+    true_counts = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = sketches.countmin_build_weighted(
+        true_counts, "token", "true_count", depth=4, width=256
     )
     probes = true_counts.orderBy(
         F.desc("true_count"), F.asc("token")

@@ -103,10 +103,16 @@ bk AS (
                 % 2147483647 AS BIGINT) % 256 AS b
     FROM bg
 ),
+bk2 AS (
+    -- per-(doc, bucket) counts: same shape as the Spark side's single
+    -- extraction pass, so the per-doc score is SUM(n * lw) both sides
+    SELECT doc_id, b, COUNT(*) AS n, MAX(is_tgt) AS is_tgt
+    FROM bk GROUP BY doc_id, b
+),
 dist AS (
-    SELECT b, COUNT(*) AS n_r,
-           SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS n_t
-    FROM bk GROUP BY b
+    SELECT b, SUM(n) AS n_r,
+           SUM(CASE WHEN is_tgt THEN n ELSE 0 END) AS n_t
+    FROM bk2 GROUP BY b
 ),
 tot AS (SELECT SUM(n_r) AS t_r, SUM(n_t) AS t_t FROM dist),
 lut AS (
@@ -115,8 +121,8 @@ lut AS (
     FROM dist CROSS JOIN tot
 ),
 w AS (
-    SELECT doc_id, SUM(lw) AS w
-    FROM bk JOIN lut USING (b) GROUP BY doc_id
+    SELECT doc_id, SUM(n * lw) AS w
+    FROM bk2 JOIN lut USING (b) GROUP BY doc_id
 )
 SELECT d.doc_id, round(coalesce(w.w, 0.0), 6) AS dsir_logweight
 FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
@@ -742,19 +748,32 @@ def x3_oov_rate(spark, sf_dir):
         .select("doc_id", F.explode(F.split(dedup.normalize_text("text"), r"\s+")).alias("token"))
         .filter(F.col("token") != "")
     )
-    vocab = (
-        toks.groupBy("token")
+    # ONE tokenization pass (round 11): per-(doc, token) counts are the
+    # shared, lineage-barriered relation — bounded by distinct tokens per
+    # doc — feeding BOTH the vocabulary head and the per-doc rollup, so
+    # neither consumer re-runs the normalize/split/explode extraction
+    # (the old shape tokenized the corpus twice).  All-integer math, so
+    # the values are exactly the per-occurrence ones.
+    doc_tok = (
+        toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        doc_tok.groupBy("token")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(100)
         .select("token", F.lit(1).alias("_in_vocab"))
     )
     return (
-        toks.join(F.broadcast(vocab), "token", "left")
+        doc_tok.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum("n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("n")).otherwise(0)
+            ).alias("n_oov"),
         )
         .select(
             "doc_id",
