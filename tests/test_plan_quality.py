@@ -630,3 +630,34 @@ def test_minhash_width_pins_are_noops_at_small_corpus(spark, sf_dir):
         f"expected band + verify width pins at a 50M-doc corpus, found "
         f"{n_pins} distinct RepartitionByExpression keys\n{plan_big[:800]}"
     )
+
+
+def test_single_extraction_barriers_hold(spark, sf_dir):
+    """Round-11 fix pins: dsir / oov / count-min each tokenize the corpus
+    EXACTLY ONCE into a lineage-barriered (localCheckpoint) relation that
+    both downstream consumers read back as an RDD scan.  If a refactor
+    drops the barrier, each consumer becomes its own parquet subtree and
+    the extraction work doubles (the regression the noop-sink bench
+    exposed: dsir 2.36s -> 0.57s at sf0.1 with the barrier)."""
+    cases = {
+        # name -> (max parquet scans in the final plan, min RDD scans)
+        # dsir's one allowed parquet scan is the slim id-only projection
+        # on the final left join; the extraction itself must be hidden
+        # behind the checkpoint
+        "x3_dsir_logweights": (1, 2),
+        "x3_oov_rate": (0, 2),
+        "x11_countmin_freq": (0, 2),
+    }
+    for name, (max_parquet, min_rdd) in cases.items():
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = _final_plan(df)
+        n_parquet = plan.count("Scan parquet")
+        n_rdd = plan.count("Scan ExistingRDD")
+        assert n_parquet <= max_parquet, (
+            f"{name}: {n_parquet} parquet scans — the extraction barrier "
+            f"is gone and the corpus is being re-tokenized per consumer"
+        )
+        assert n_rdd >= min_rdd, (
+            f"{name}: only {n_rdd} RDD scans — expected both consumers "
+            f"to read the checkpointed extraction"
+        )
