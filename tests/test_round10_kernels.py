@@ -204,3 +204,85 @@ def test_pq_encode_arrow_identical_to_fold_union(spark):
         ).collect())
     )
     assert fold == arrow and len(fold) > 0
+
+
+def test_auto_dispatch_schema_and_id_type_safety(spark):
+    """Round-11 ADVICE pins: kernel='auto' may never change output schema
+    or id semantics vs the fold engines.
+
+    - integral non-bigint ids: the Arrow PQ encoder must preserve the id
+      column's own type (the r10 kernel hardcoded LongType, silently
+      widening int ids vs the fold union plan);
+    - non-integral ids: auto must fall back to the fold path (the Arrow
+      kernels round-trip/sort ids through numpy, which is neither
+      lossless nor Spark-collation-ordered for strings)."""
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+    from etl_for_ecol_fusion_database_spark.operators import dedup as dedup_ops
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        F.col("vec_id").cast("int").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    head = [
+        list(r.v)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codebooks = [[head[c][j * 16 : (j + 1) * 16] for c in range(4)] for j in range(4)]
+
+    auto = clustering.pq_encode(emb, "vec_id", "v", codebooks, sub_dim=16)
+    fold = clustering.pq_encode(
+        emb, "vec_id", "v", codebooks, sub_dim=16, kernel="fold"
+    )
+    assert [f.dataType for f in auto.schema.fields] == [
+        f.dataType for f in fold.schema.fields
+    ], f"auto changed schema: {auto.schema} vs {fold.schema}"
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fold.collect()))
+
+    # string ids: auto must produce the fold engines' exact rows (and in
+    # particular never crash in a numpy int64 round-trip)
+    emb_s = load_table(spark, SF_CORRECT, "embeddings").select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    seeds = [
+        list(r.v)
+        for r in load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.col("vec_id") < 40).orderBy("vec_id").collect()
+    ]
+    auto_s = sorted(map(tuple, dedup_ops.semantic_dedup(
+        emb_s, seeds, id_col="vec_id", vec_col="v", threshold=0.3
+    ).collect()))
+    fold_s = sorted(map(tuple, dedup_ops.semantic_dedup(
+        emb_s, seeds, id_col="vec_id", vec_col="v", threshold=0.3,
+        pair_kernel="fold",
+    ).collect()))
+    assert auto_s == fold_s and len(auto_s) > 0
+
+    enc_s = clustering.pq_encode(emb_s, "vec_id", "v", codebooks, sub_dim=16)
+    enc_sf = clustering.pq_encode(
+        emb_s, "vec_id", "v", codebooks, sub_dim=16, kernel="fold"
+    )
+    assert sorted(map(tuple, enc_s.collect())) == sorted(map(tuple, enc_sf.collect()))
+
+
+def test_countmin_weighted_build_identical_to_occurrence_build(spark):
+    """countmin_build_weighted over per-token counts must produce the
+    exact counter table of the occurrence fold (counters are additive) —
+    the equivalence the x11 query's single-extraction shape relies on."""
+    from etl_for_ecol_fusion_database_spark.operators import sketches
+    from etl_for_ecol_fusion_database_spark.operators.text import normalize_text
+
+    occ = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F.explode(F.split(normalize_text("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    direct = sorted(map(tuple, sketches.countmin_build(
+        occ, depth=4, width=256
+    ).collect()))
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    weighted = sorted(map(tuple, sketches.countmin_build_weighted(
+        counts, "token", "c", depth=4, width=256
+    ).collect()))
+    assert direct == weighted and len(direct) > 0
