@@ -1220,6 +1220,7 @@ def cdc_chunk_rows(
     *,
     window: int = 8,
     modulus: int = 64,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Content-defined chunking (Rabin/gear-style): cut each normalized
     document at positions where the rolling window hash satisfies
@@ -1243,7 +1244,8 @@ def cdc_chunk_rows(
     slower (the digest dominates, whether codegen or HOF-interpreted).
     Max magnitude: 0x10FFFF · 31^7 · 8 ≈ 2.4e17, well inside int64.
 
-    Shape: boundary detection builds the per-doc POSITION-HASH ARRAY in
+    Shape, ``kernel="fold"`` (the ANSI/oracle-replayable witness):
+    boundary detection builds the per-doc POSITION-HASH ARRAY in
     one expression — map chars to code points once (O(len)), fold each
     window with literal 31^j weights (O(window) int ops per position, all
     random-access array indexing) — then ``posexplode`` emits slim
@@ -1257,10 +1259,41 @@ def cdc_chunk_rows(
     (~1/modulus of positions) survive to the per-doc ``lead`` window that
     turns cut positions into (start, end) spans, so the one exchange in
     the plan shuffles cut rows, not character rows.
+
+    ``kernel="arrow"`` (round 11; ``"auto"`` picks it when
+    numpy/pandas/pyarrow import): the per-position polynomial is exactly
+    the interpreted-HOF cost class the round-10 kernels removed from the
+    embedding heads — O(len x window) lambda evaluations per doc — so the
+    whole operator collapses to ONE ``mapInPandas`` pass: a
+    sliding-window int64 matmul for the boundary hashes plus row-local
+    Python slicing for the chunks.  Spark strings and Python strings are
+    both code-point indexed (``split('')``/``ascii``/``substring`` vs
+    ``ord``/slices — verified identical over BMP and astral chars), and
+    the hash is pure int64 arithmetic, so cut positions and chunk text
+    are bit-identical to the fold plan (pinned in
+    tests/test_round4b_ops.py).  Zero shuffles remain: the fold plan's
+    posexplode/union/window/join DAG becomes scan -> mapInPandas ->
+    project(md5).
     """
     from .text import normalize_text
 
     normed = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+    use_arrow = kernel == "arrow"
+    if kernel == "auto":
+        try:
+            import numpy  # noqa: F401 — Arrow kernel deps, probed only
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            use_arrow = True
+        except ImportError:
+            use_arrow = False
+    if use_arrow:
+        chunked = _cdc_chunk_rows_arrow(normed, window, modulus)
+        return chunked.select(
+            "id", "chunk_idx", "start", "chunk",
+            F.md5("chunk").alias("chunk_hash"),
+        )
     # hash array: position-hash i (0-based) covers chars i..i+window-1,
     # i.e. 1-based cut position p = i + 1; candidate cuts are
     # 2..len-window+1, so i >= 1.  Docs shorter than the window yield a
@@ -1314,6 +1347,63 @@ def cdc_chunk_rows(
     return chunked.select(
         "id", "chunk_idx", "start", "chunk", F.md5("chunk").alias("chunk_hash")
     )
+
+
+def _cdc_chunk_rows_arrow(normed: DataFrame, window: int, modulus: int) -> DataFrame:
+    """One-pass Arrow CDC chunker over (id, _n) rows: per doc, code points
+    via ``ord`` (Python strings are code-point sequences, same indexing as
+    Spark's ``split('')``/``substring``), boundary hashes via a sliding-
+    window int64 matmul with the 31^j weight vector, chunks via row-local
+    slices.  Cut positions and chunk text are bit-identical to the fold
+    plan's (integer arithmetic only; pinned in tests)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", normed.schema["id"].dataType),
+            StructField("chunk_idx", IntegerType()),
+            StructField("start", IntegerType()),
+            StructField("chunk", StringType()),
+        ]
+    )
+    weights = np.array([31 ** j for j in range(window)], dtype=np.int64)
+
+    def chunker(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, starts, chunks = [], [], [], []
+            for doc_id, s in zip(pdf["id"], pdf["_n"]):
+                if s is None:
+                    # fold parity: the sentinel row always exists; its
+                    # substring over a null doc is null
+                    ids.append(doc_id); idxs.append(0)
+                    starts.append(1); chunks.append(None)
+                    continue
+                n = len(s)
+                cuts = [1]
+                if n >= window + 1:
+                    codes = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+                    sw = np.lib.stride_tricks.sliding_window_view(codes, window)
+                    # candidate 0-based window index i in [1, n-window];
+                    # cut position p = i + 1 (1-based, fold-identical)
+                    h = (sw[1 : n - window + 1] @ weights) % 2147483647
+                    cuts.extend((np.nonzero(h % modulus == 0)[0] + 2).tolist())
+                bounds = cuts + [n + 1]
+                for k, p in enumerate(cuts):
+                    ids.append(doc_id); idxs.append(k)
+                    starts.append(p); chunks.append(s[p - 1 : bounds[k + 1] - 1])
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "chunk": pd.Series(chunks, dtype="object"),
+                }
+            )
+
+    return normed.mapInPandas(chunker, schema=out_schema)
 
 
 def cdc_chunk_dedup(
