@@ -455,11 +455,16 @@ def test_per_key_sample_single_shuffle_grouplimit(spark, sf_dir):
     assert n_shuffles == 1, f"per-key sample should shuffle once\n{plan}"
 
 
-def test_cdc_chunks_span_window_is_slim(spark, sf_dir):
-    """The span window must partition by id over slim (id, p) cut rows —
-    never carry the document text (quadratic shuffle bytes) — and the text
-    re-attaches through exactly one join."""
-    plan = _final_plan(registry.QUERIES["x1_cdc_chunks"](spark, sf_dir))
+def test_cdc_chunks_fold_witness_span_window_is_slim(spark, sf_dir):
+    """The fold witness (``kernel="fold"``, the ANSI/oracle-replayable
+    shape) must partition the span window by id over slim (id, p) cut rows
+    — never carry the document text (quadratic shuffle bytes) — and the
+    text re-attaches through exactly one join."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.cdc_chunk_rows(docs, "doc_id", "text", kernel="fold")
+    plan = _final_plan(rows)
     # the window's input exchange carries no text column
     m = re.search(r"Exchange hashpartitioning\(id#\d+L", plan)
     assert m, plan
@@ -469,6 +474,31 @@ def test_cdc_chunks_span_window_is_slim(spark, sf_dir):
     # the text or a char array (O(len²) per-row copies otherwise)
     m = re.search(r"Generate posexplode\([^\n]*\), \[id#\d+L\]", plan)
     assert m, plan
+
+
+def test_cdc_chunks_auto_path_is_one_pass_arrow(spark, sf_dir):
+    """The production path (``kernel="auto"`` with numpy/pandas/pyarrow
+    present) is the one-pass Arrow kernel: scan → mapInPandas → project.
+    Chunk extraction itself must be zero-shuffle (all work is row-local per
+    doc), and the registered ``x1_cdc_chunks`` dedup on top of it must add
+    exactly one exchange — the chunk-hash aggregation."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows_plan = _final_plan(dedup.cdc_chunk_rows(docs, "doc_id", "text"))
+    assert "MapInPandas" in rows_plan, rows_plan
+    assert "Exchange" not in rows_plan, f"chunking must be narrow\n{rows_plan}"
+    # no remnant of the fold DAG on the auto path
+    assert "Generate posexplode" not in rows_plan
+    assert "Window" not in rows_plan
+
+    dedup_plan = _final_plan(registry.QUERIES["x1_cdc_chunks"](spark, sf_dir))
+    assert "MapInPandas" in dedup_plan, dedup_plan
+    # countDistinct(id) expands to Spark's two-phase distinct aggregate:
+    # partial on (chunk_hash, id) → exchange → merge → exchange on
+    # chunk_hash.  Both exchanges carry slim aggregate rows, never text.
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", dedup_plan))
+    assert n_shuffles <= 2, f"cdc dedup grew extra shuffles\n{dedup_plan}"
 
 
 def test_epoch_shuffle_no_global_data_window(spark, sf_dir):
