@@ -206,7 +206,14 @@ PINNED_PANEL = [
 #: aggregate prunes to a zero-column scan — docs/PROBE_PROFILE_SKETCH_r11
 #: .json).  The JSON line carries the mode so sheets are never compared
 #: across protocols.
-MATERIALIZE = os.environ.get("SPARK_GRAFT_MATERIALIZE", "noop")
+MATERIALIZE = os.environ.get("SPARK_GRAFT_MATERIALIZE", "noop").strip().lower()
+if MATERIALIZE not in ("noop", "count"):
+    # fail fast: a typo'd mode would silently run noop while the JSON line
+    # records the raw string — a sheet labeled with a mode never exercised
+    sys.exit(
+        f"SPARK_GRAFT_MATERIALIZE must be 'noop' or 'count', got "
+        f"{os.environ['SPARK_GRAFT_MATERIALIZE']!r}"
+    )
 
 
 def _materialize(df) -> None:

@@ -589,14 +589,21 @@ def _pq_encode_arrow(
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    from . import vectorized
+
     books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     m = len(books)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    id_type = df.schema[id_col].dataType
+    # NULL ids arrive float64/object from the Arrow→pandas exchange; the
+    # masked extension dtype keeps them null through the round-trip (fold
+    # parity: the union plan projects null ids through with their codes)
+    id_dtype = vectorized.nullable_int_dtype(id_type)
     # preserve the id column's own type so the Arrow plan's schema is
     # identical to the fold union plan's for every integral id width
     out_schema = StructType(
         [
-            StructField("id", df.schema[id_col].dataType),
+            StructField("id", id_type),
             StructField("subspace", IntegerType()),
             StructField("code", IntegerType()),
         ]
@@ -609,7 +616,7 @@ def _pq_encode_arrow(
             if len(pdf) == 0:
                 continue
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
-            ids = pdf["id"].to_numpy()  # native width — matches out_schema
+            ids = pdf["id"].astype(id_dtype) if id_dtype else pdf["id"]
             n = v.shape[0]
             codes = np.empty((m, n), dtype=np.int32)
             for j in range(m):
@@ -617,7 +624,9 @@ def _pq_encode_arrow(
                 codes[j], _ = _fold_argmin_d2(sub, books[j])
             yield pd.DataFrame(
                 {
-                    "id": np.tile(ids, m),
+                    "id": ids.take(np.tile(np.arange(n), m)).reset_index(
+                        drop=True
+                    ),
                     "subspace": np.repeat(
                         np.arange(m, dtype=np.int32), n
                     ),

@@ -1148,6 +1148,8 @@ def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    from . import vectorized
+
     # preserve the id column's own (integral — dispatch-gated) type so the
     # Arrow plan's output schema matches the fold path's exactly
     out_schema = StructType(
@@ -1161,15 +1163,22 @@ def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
     def score(pdf):
         import pandas as pd
 
+        # fold parity for NULL ids: the fold pair join's a.id < b.id is
+        # NULL-false, so null-id rows pair with nothing — drop them before
+        # the (possibly float64/object-materialized) id column round-trips
+        # through numpy; survivors are non-null and convert losslessly
+        pdf = pdf[pdf["id"].notna()]
+        empty_ids = pd.array([], dtype=vectorized.nullable_int_dtype(
+            out_schema["id"].dataType) or object)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
                 {
-                    "id": pdf["id"].iloc[:0],
+                    "id": empty_ids,
                     "_raw_cosine": np.empty(0, dtype=np.float64),
                 }
             )
-        ids = pdf["id"].to_numpy()  # native width — matches out_schema
+        ids = pdf["id"].to_numpy(dtype=np.int64)  # non-null after the filter
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
@@ -1195,7 +1204,7 @@ def _semdedup_pairs_arrow(withn: DataFrame, threshold: float) -> DataFrame:
         if not out_ids:
             return pd.DataFrame(
                 {
-                    "id": pdf["id"].iloc[:0],
+                    "id": empty_ids,
                     "_raw_cosine": np.empty(0, dtype=np.float64),
                 }
             )
@@ -1359,9 +1368,18 @@ def _cdc_chunk_rows_arrow(normed: DataFrame, window: int, modulus: int) -> DataF
     import numpy as np
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+    from . import vectorized
+
+    id_type = normed.schema["id"].dataType
+    # NULL ids arrive float64/object from the Arrow→pandas exchange; the
+    # masked extension dtype keeps the id column exact instead of silently
+    # materializing float64.  Fold parity for null ids: the fold plan
+    # re-attaches text through an equi-join on id, which is null-REJECTING
+    # — null-id docs produce no chunks — so the kernel skips them too.
+    id_dtype = vectorized.nullable_int_dtype(id_type)
     out_schema = StructType(
         [
-            StructField("id", normed.schema["id"].dataType),
+            StructField("id", id_type),
             StructField("chunk_idx", IntegerType()),
             StructField("start", IntegerType()),
             StructField("chunk", StringType()),
@@ -1374,7 +1392,10 @@ def _cdc_chunk_rows_arrow(normed: DataFrame, window: int, modulus: int) -> DataF
 
         for pdf in batches:
             ids, idxs, starts, chunks = [], [], [], []
-            for doc_id, s in zip(pdf["id"], pdf["_n"]):
+            in_ids = pdf["id"].astype(id_dtype) if id_dtype else pdf["id"]
+            for doc_id, s in zip(in_ids, pdf["_n"]):
+                if doc_id is None or doc_id is pd.NA:
+                    continue  # fold parity: the text re-attach join drops null ids
                 if s is None:
                     # fold parity: the sentinel row always exists; its
                     # substring over a null doc is null
@@ -1396,7 +1417,7 @@ def _cdc_chunk_rows_arrow(normed: DataFrame, window: int, modulus: int) -> DataF
                     starts.append(p); chunks.append(s[p - 1 : bounds[k + 1] - 1])
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "id": pd.Series(ids, dtype=id_dtype or pdf["id"].dtype),
                     "chunk_idx": pd.Series(idxs, dtype="int32"),
                     "start": pd.Series(starts, dtype="int32"),
                     "chunk": pd.Series(chunks, dtype="object"),

@@ -620,6 +620,7 @@ def dsir_logweights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 256,
+    barrier: str | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): per-document
@@ -647,7 +648,14 @@ def dsir_logweights(
     never a second corpus scan; the per-doc score joins the broadcast
     log-ratio table and sums ``count * lw`` per doc.  Docs with <2
     tokens carry weight 0.
+
+    ``barrier``: ``"local"`` (default) truncates lineage with
+    ``localCheckpoint`` — fast but NOT fault-tolerant (a lost executor
+    fails the query); ``"persist"`` uses a DISK_ONLY persist that
+    recomputes lost blocks — the deploy-honest choice on preemptible
+    fleets.  See operators/barrier.py.
     """
+    from .barrier import extraction_barrier
     from .dedup import portable_hash_expr
 
     bg = _bigram_rows(
@@ -659,13 +667,12 @@ def dsir_logweights(
     )
     # one extraction pass -> bounded (id, bucket) counts; _is_tgt is
     # constant per doc so max() preserves it through the group
-    doc_bk = (
-        bg.groupBy(id_col, "b")
-        .agg(
+    doc_bk = extraction_barrier(
+        bg.groupBy(id_col, "b").agg(
             F.count(F.lit(1)).alias("n"),
             F.max(F.col("_is_tgt")).alias("_is_tgt"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        mode=barrier,
     )
     dist = doc_bk.groupBy("b").agg(
         F.sum("n").alias("n_r"),

@@ -23,6 +23,48 @@ from pyspark.sql.functions import pandas_udf
 _UDF_CACHE: dict[str, object] = {}
 
 
+def id_series(series: pd.Series, spark_type) -> pd.Series:
+    """Return an Arrow-batch id column as a NULL-preserving pandas series.
+
+    The Arrow → pandas conversion inside ``mapInPandas``/``applyInPandas``
+    materializes an integer column that contains ANY null as float64
+    (NaN) or object — so a kernel that round-trips ids via ``.to_numpy()``
+    or ``pd.Series(..., dtype=pdf['id'].dtype)`` either fails the cast
+    back to the declared integer schema or silently diverges from the fold
+    plans, which handle null ids natively.  For integral Spark id types
+    this re-types the column as the masked extension dtype
+    (Int8/Int16/Int32/Int64), keeping null ids null end-to-end; other id
+    types pass through unchanged.
+
+    Caveat (inherent to the pandas exchange, not fixable here): in a batch
+    that mixes nulls with ids of magnitude ≥ 2^53, the non-null ids have
+    already transited float64 before the kernel sees them.  Synthetic ids
+    that large don't occur in any registered pipeline; fold paths remain
+    the refuge for such data (``kernel="fold"``).
+    """
+    name = _NULLABLE_INT_DTYPE.get(type(spark_type))
+    return series.astype(name) if name is not None else series
+
+
+def nullable_int_dtype(spark_type) -> str | None:
+    """Pandas masked extension dtype for a Spark integral type, else None."""
+    return _NULLABLE_INT_DTYPE.get(type(spark_type))
+
+
+def _build_nullable_map():
+    from pyspark.sql import types as T
+
+    return {
+        T.ByteType: "Int8",
+        T.ShortType: "Int16",
+        T.IntegerType: "Int32",
+        T.LongType: "Int64",
+    }
+
+
+_NULLABLE_INT_DTYPE = _build_nullable_map()
+
+
 def _dot_pandas():
     """Arrow-batched dot product UDF (built lazily — pandas_udf needs an
     active SparkSession to resolve its return type)."""

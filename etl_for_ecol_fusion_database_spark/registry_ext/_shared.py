@@ -48,12 +48,18 @@ def _embedding_head(spark, sf_dir, n):
     return got
 
 
+#: how many mutated copies _with_synthetic_near_dups injects — callers that
+#: pre-compute corpus row counts (e.g. the SHJ-bounding corpus_count pins in
+#: q01_dedup) must add exactly this many rows to the base-table count.
+N_SYNTHETIC_NEAR_DUPS = 20
+
+
 def _with_synthetic_near_dups(docs):
-    """Append mutated copies of the first 20 docs (drop first word,
-    id+1_000_000) — guarantees true near-duplicates exist at any scale
-    factor so LSH recall checks are non-vacuous."""
+    """Append mutated copies of the first N_SYNTHETIC_NEAR_DUPS docs (drop
+    first word, id+1_000_000) — guarantees true near-duplicates exist at any
+    scale factor so LSH recall checks are non-vacuous."""
     mutated = (
-        docs.filter(F.col("doc_id") < 20)
+        docs.filter(F.col("doc_id") < N_SYNTHETIC_NEAR_DUPS)
         .select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),

@@ -20,6 +20,7 @@ from ._shared import (  # noqa: F401
     _RT_DIRS,
     _SCD2_FULL_RECOMPUTE_ORACLE,
     _STOP_LIST,
+    N_SYNTHETIC_NEAR_DUPS,
     _marker_list,
     _rt_tmpdir,
     _t,
@@ -105,13 +106,12 @@ def x1_minhash_near_dup(spark, sf_dir):
     from ..catalog import table_row_count
 
     docs = _with_synthetic_near_dups(_t(spark, sf_dir, "documents"))
-    # count the corpus ACTUALLY deduped: base footer count plus the 20
-    # injected synthetic near-dups (constant by construction in
-    # _with_synthetic_near_dups), so the SHJ-bounding pins never
+    # count the corpus ACTUALLY deduped: base footer count plus the
+    # injected synthetic near-dups, so the SHJ-bounding pins never
     # under-provision relative to the true input
     return dedup.minhash_lsh_pairs(
         docs, n=2, num_hashes=32, n_bands=8, threshold=0.4,
-        corpus_count=table_row_count(sf_dir, "documents") + 20,
+        corpus_count=table_row_count(sf_dir, "documents") + N_SYNTHETIC_NEAR_DUPS,
     )
 
 

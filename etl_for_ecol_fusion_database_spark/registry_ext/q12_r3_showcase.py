@@ -1019,11 +1019,12 @@ def x11_countmin_freq(spark, sf_dir):
     # fold — counters are additive, bit-identical), the probe head, and
     # the truth column; the barrier is vocabulary-sized, so neither
     # consumer re-tokenizes the corpus (round 11; the old shape scanned
-    # and re-hashed every occurrence twice)
-    true_counts = (
-        occ.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-        .localCheckpoint(eager=False)
+    # and re-hashed every occurrence twice).  Barrier mode is
+    # env-switchable for preemptible fleets (operators/barrier.py).
+    from ..operators.barrier import extraction_barrier
+
+    true_counts = extraction_barrier(
+        occ.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
     )
     sketch = sketches.countmin_build_weighted(
         true_counts, "token", "true_count", depth=4, width=256

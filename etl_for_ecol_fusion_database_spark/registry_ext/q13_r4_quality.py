@@ -749,15 +749,16 @@ def x3_oov_rate(spark, sf_dir):
         .filter(F.col("token") != "")
     )
     # ONE tokenization pass (round 11): per-(doc, token) counts are the
-    # shared, lineage-barriered relation — bounded by distinct tokens per
-    # doc — feeding BOTH the vocabulary head and the per-doc rollup, so
+    # shared, barriered relation — bounded by distinct tokens per doc —
+    # feeding BOTH the vocabulary head and the per-doc rollup, so
     # neither consumer re-runs the normalize/split/explode extraction
     # (the old shape tokenized the corpus twice).  All-integer math, so
-    # the values are exactly the per-occurrence ones.
-    doc_tok = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+    # the values are exactly the per-occurrence ones.  Barrier mode is
+    # env-switchable for preemptible fleets (operators/barrier.py).
+    from ..operators.barrier import extraction_barrier
+
+    doc_tok = extraction_barrier(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
     )
     vocab = (
         doc_tok.groupBy("token")

@@ -691,3 +691,28 @@ def test_single_extraction_barriers_hold(spark, sf_dir):
             f"{name}: only {n_rdd} RDD scans — expected both consumers "
             f"to read the checkpointed extraction"
         )
+
+def test_extraction_barrier_persist_mode(spark, sf_dir):
+    """operators/barrier.extraction_barrier(mode='persist') — the
+    fault-tolerant barrier for preemptible fleets (DISK_ONLY persist keeps
+    lineage, so a lost executor recomputes instead of failing the query) —
+    must keep values identical to the default localCheckpoint barrier and
+    still evaluate the extraction once: both consumers read the cached
+    relation instead of their own parquet subtree."""
+    from etl_for_ecol_fusion_database_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 3 == 0
+    local = sorted(map(tuple, text_ops.dsir_logweights(docs, pred).collect()))
+    persisted = text_ops.dsir_logweights(docs, pred, barrier="persist")
+    try:
+        plan = _final_plan(persisted)
+        # both consumers read the DISK_ONLY cache.  (Unlike localCheckpoint,
+        # persist KEEPS lineage — that is its fault-tolerance — so the plan
+        # text still displays the extraction subtree inside each
+        # InMemoryRelation definition; the cached scan nodes are the pin.)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "StorageLevel(disk" in plan, plan
+        assert sorted(map(tuple, persisted.collect())) == local
+    finally:
+        spark.catalog.clearCache()

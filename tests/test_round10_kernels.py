@@ -286,3 +286,77 @@ def test_countmin_weighted_build_identical_to_occurrence_build(spark):
         counts, "token", "c", depth=4, width=256
     ).collect()))
     assert direct == weighted and len(direct) > 0
+
+
+def _nsort(rows):
+    """Sort rows that may contain NULLs (None is not orderable vs int)."""
+    return sorted(rows, key=lambda t: [(v is None, v) for v in t])
+
+
+def test_arrow_kernels_null_id_parity(spark):
+    """Round-12 ADVICE pin: a batch containing NULL ids materializes the
+    pandas id column as float64/object, so a kernel that round-trips ids
+    via .to_numpy()/native-dtype Series either errors on the cast back to
+    the declared integer schema or diverges from the fold paths, which
+    handle null ids natively.  Each Arrow kernel must match its fold
+    engine row-for-row on a corpus that includes null-id rows:
+
+    - CDC chunker: the fold plan re-attaches text via an equi-join on id
+      (null-REJECTING), so null-id docs produce no chunks on either path;
+    - PQ encoder: the fold union projects null ids through with their
+      codes, so the kernel must carry them too;
+    - SemDeDup pair kernel: null-id rows pair with NOTHING (the fold
+      join's a.id < b.id is NULL-false) and survive the final anti-join.
+    """
+    from etl_for_ecol_fusion_database_spark.operators import clustering
+    from etl_for_ecol_fusion_database_spark.operators import dedup as dedup_ops
+
+    # --- CDC chunker ------------------------------------------------------
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 30),
+            (None, "pack my box with five dozen liquor jugs " * 30),
+            (3, None),
+            (None, None),
+        ],
+        "doc_id long, text string",
+    )
+    fold = _nsort(map(tuple, dedup_ops.cdc_chunk_rows(docs, kernel="fold").collect()))
+    arrow = _nsort(map(tuple, dedup_ops.cdc_chunk_rows(docs, kernel="arrow").collect()))
+    assert fold == arrow and len(fold) > 4
+    assert not any(t[0] is None for t in arrow), "null-id docs join no text"
+
+    # --- PQ encoder + SemDeDup over embeddings with a null-id row --------
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        F.when(F.col("vec_id") % 37 == 5, F.lit(None))
+        .otherwise(F.col("vec_id"))
+        .alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    head = [
+        list(r.v)
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    codebooks = [[head[c][j * 16 : (j + 1) * 16] for c in range(4)] for j in range(4)]
+    fold = _nsort(map(tuple, clustering.pq_encode(
+        emb, "vec_id", "v", codebooks, sub_dim=16, kernel="fold"
+    ).collect()))
+    arrow = _nsort(map(tuple, clustering.pq_encode(
+        emb, "vec_id", "v", codebooks, sub_dim=16, kernel="arrow"
+    ).collect()))
+    assert fold == arrow and len(fold) > 0
+    assert any(t[0] is None for t in arrow), "null-id codes must survive"
+
+    seeds = [
+        list(r.v) for r in emb.filter(F.col("vec_id") < 40).orderBy("vec_id").collect()
+    ]
+    fold = _nsort(map(tuple, dedup_ops.semantic_dedup(
+        emb, seeds, id_col="vec_id", vec_col="v",
+        threshold=0.3, pair_kernel="fold",
+    ).collect()))
+    arrow = _nsort(map(tuple, dedup_ops.semantic_dedup(
+        emb, seeds, id_col="vec_id", vec_col="v",
+        threshold=0.3, pair_kernel="arrow",
+    ).collect()))
+    assert fold == arrow and len(fold) > 0
+    assert any(t[0] is None for t in arrow), "null-id rows survive the anti-join"
