@@ -13,6 +13,12 @@ settles with more warm-ups, the evidence for raising them).
 
 Usage: python scripts/probe_spread.py [out.json]   (run ALONE — any
 concurrent Spark job inflates timings 10-30%)
+
+Round 12: the query list and run count are env-overridable so every
+targeted idle probe runs through this committed script (clean-tree
+provenance — VERDICT r11 item #5):
+  SPARK_GRAFT_PROBE_QUERIES=flagship_valid_cohort,x12_data_quality
+  SPARK_GRAFT_PROBE_RUNS=5
 """
 
 from __future__ import annotations
@@ -26,14 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
-QUERIES = [
-    "x2_knn_join",
-    "x2_index_persist",
-    "x2_pq_adc_topk",
-    "x2_random_projection",
-]
-N_WARM = 4
-N_RUNS = 12
+QUERIES = os.environ.get(
+    "SPARK_GRAFT_PROBE_QUERIES",
+    "x2_knn_join,x2_index_persist,x2_pq_adc_topk,x2_random_projection",
+).split(",")
+N_WARM = int(os.environ.get("SPARK_GRAFT_PROBE_WARM", "4"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "12"))
 
 
 def _materialize(df):
@@ -85,8 +89,27 @@ def main() -> None:
             f"runs={runs}",
             flush=True,
         )
+    # provenance (VERDICT r11 item #5: every committed artifact, probes
+    # included, from a clean tree with its commit recorded)
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:
+        head, dirty = None, None
     results["__meta__"] = {
         "sf_dir": SF_DIR, "n_warm": N_WARM, "n_runs": N_RUNS,
+        "git_head": head, "git_dirty": dirty,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)
