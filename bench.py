@@ -163,6 +163,8 @@ HEADLINE = [
     "j10_abandoned_views",
     # round 6: codegen JL-projection twin (vs the portable fold above)
     "x2_random_projection_fast",
+    # round 12: incremental near-dup gate against the signature store
+    "x1_incremental_minhash",
 ]
 
 #: FIXED inline panel for the stdout JSON line (VERDICT r08 item #5).
@@ -454,6 +456,23 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     rows_per_sec = round(n_rows / ingest_sec) if ingest_sec else None
 
+    # provenance (VERDICT r11 item #5: every committed measurement artifact
+    # self-describes its source commit and tree state)
+    import subprocess
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        git_head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo_dir,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        git_dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=repo_dir,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:
+        git_head, git_dirty = None, None
+
     # full-precision detail (incl. per-query shuffle bytes) → side file; the
     # driver's tail capture only keeps the last 2000 chars of stdout
     detail = {
@@ -479,6 +498,8 @@ def main() -> None:
         "loadavg_pre": load_pre,
         "loadavg_post": load_post,
         "cpu_count": os.cpu_count(),
+        "git_head": git_head,
+        "git_dirty": git_dirty,
         "errors": errors,
     }
     try:
@@ -506,6 +527,7 @@ def main() -> None:
         # committed idle panels (BASELINE.md noise-floor protocol)
         "load1_pre": load_pre[0] if load_pre else None,
         "load1_post": load_post[0] if load_post else None,
+        "git": (git_head[:10] + ("+dirty" if git_dirty else "")) if git_head else None,
     }
     if errors:
         payload["errors_count"] = len(errors)

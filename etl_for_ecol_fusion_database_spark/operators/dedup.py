@@ -1554,3 +1554,157 @@ def minhash_estimate_report(
             ).alias("within_tolerance"),
         )
     )
+
+
+def minhash_signature_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 2,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """The persisted near-dup index for incremental corpus curation: one
+    row per document — ``(id, sz, m_0..m_{num_hashes-1})`` — its portable
+    MinHash signature plus shingle-set size.  TEXT-FREE: ~num_hashes longs
+    per doc, which is what lets a 100-TB corpus's dedup state live as a
+    small parquet artifact between daily batches (the near-dup analogue of
+    the exact ``x1_incremental_dedup`` fingerprint store).
+
+    Same portable family as :func:`minhash_lsh_pairs_portable` (md5-prefix
+    base hash + mod-p universal permutations), so both the store build and
+    every downstream probe replay in ANSI SQL.  One corpus scan, one
+    map-side-combined ``groupBy(id)``; signatures never shuffle again."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    pairs = sh.withColumn("x", portable_hash_expr("shingle"))
+    return pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(
+                (F.col("x") * F.lit(_PORT_A[i]) + F.lit(_PORT_B[i])) % F.lit(_P_PORT)
+            ).alias(f"m_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def _portable_band_rows(sig: DataFrame, *, num_hashes: int, n_bands: int) -> DataFrame:
+    """(id, band_idx, band_key) LSH band rows derived from a signature
+    relation — a narrow zero-shuffle projection (the band key is the
+    joined string of the band's signature slots, the same key
+    :func:`minhash_lsh_pairs_portable` self-joins on)."""
+    r = num_hashes // n_bands
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[F.col(f"m_{b * r + j}").cast("string") for j in range(r)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def incremental_minhash_matches(
+    batch_df: DataFrame,
+    store: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    barrier_store: bool = True,
+) -> DataFrame:
+    """Near-dup gate for a NEW batch against the historical signature
+    ``store`` (built by :func:`minhash_signature_store`): per batch doc,
+    its best historical near-duplicate — ``(new_id, hist_id,
+    est_jaccard)`` — WITHOUT touching historical text and WITHOUT
+    re-deduping the corpus.
+
+    Pipeline: sign the batch with the same portable family (one batch
+    scan), band BOTH signature relations (narrow projections), equi-join
+    bands (the structural bound on the candidate space — never
+    batch x corpus), estimate Jaccard as the fraction of agreeing
+    signature coordinates (the unbiased MinHash estimator; the store
+    carries no shingle sets, so estimation IS the production check —
+    ``minhash_estimate_report`` pins the estimator's error bound against
+    exact Jaccard), keep candidates with ``est >= threshold``, and pick
+    each batch doc's best match (highest estimate, ties to the lowest
+    historical id) with ONE ``max(struct)`` aggregation — no window.
+
+    Scale posture: shuffles are the band equi-join and the per-new-doc
+    aggregation, both keyed; signatures re-attach to the (small) candidate
+    set by id.  A deployment bucketing the stored bands by
+    ``(band_idx, band_key)`` makes the daily probe join shuffle-free on
+    the corpus side — the ``x1_incremental_dedup`` story applied to
+    near-dups.  Threshold granularity is 1/num_hashes; rounded to 6 dp so
+    the decision replays exactly in the DuckDB oracle.  Ids must be
+    numeric: the single-aggregation best-match pick negates ``hist_id``
+    inside the ``max(struct)`` for the lowest-id tie-break."""
+    from .barrier import extraction_barrier
+
+    # the signature relations feed BOTH the band projection and the
+    # candidate-scoring join; without a barrier Catalyst inlines the
+    # corpus-sized shingle/hash extraction into each consumer (the
+    # double-extraction defect the round-11 dsir/oov/count-min fixes
+    # removed).  Both relations are bounded at docs x (1 + num_hashes)
+    # longs — the definition of a barrier-sized intermediate.
+    batch_sig = extraction_barrier(
+        minhash_signature_store(
+            batch_df, id_col, text_col, n=n, num_hashes=num_hashes
+        )
+    )
+    if barrier_store:
+        # right when the store is computed in-plan; pass False when it is
+        # served from parquet — two column-pruned scans of the persisted
+        # artifact are cheaper than materializing a checkpoint copy
+        store = extraction_barrier(store)
+    new_bands = _portable_band_rows(
+        batch_sig, num_hashes=num_hashes, n_bands=n_bands
+    ).select(F.col("id").alias("new_id"), "band_idx", "band_key")
+    hist_bands = _portable_band_rows(
+        store, num_hashes=num_hashes, n_bands=n_bands
+    ).select(F.col("id").alias("hist_id"), "band_idx", "band_key")
+    cand = (
+        new_bands.join(hist_bands, ["band_idx", "band_key"])
+        .select("new_id", "hist_id")
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    sig_new = batch_sig.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"m_{i}").alias(f"mn_{i}") for i in range(num_hashes)],
+    )
+    sig_hist = store.select(
+        F.col("id").alias("hist_id"),
+        *[F.col(f"m_{i}").alias(f"mh_{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        t = F.when(F.col(f"mn_{i}") == F.col(f"mh_{i}"), 1).otherwise(0)
+        matches = t if matches is None else (matches + t)
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
+    scored = (
+        cand.join(sig_new, "new_id")
+        .join(sig_hist, "hist_id")
+        .select("new_id", "hist_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+    )
+    best = scored.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("est_jaccard").alias("e"),
+                (-F.col("hist_id")).alias("nh"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        "new_id",
+        (-F.col("_b.nh")).alias("hist_id"),
+        F.col("_b.e").alias("est_jaccard"),
+    )

@@ -300,3 +300,121 @@ def x1_embedding_near_dup(spark, sf_dir):
     )
 
 
+
+
+def _portable_sig_ctes(src_cte: str, p: str, num_hashes: int = 16) -> str:
+    """toks → shingles → hash → signature → band CTE chain for ONE side of
+    the incremental near-dup probe, built from the same portable-family
+    constants as operators/dedup.minhash_signature_store so the two cannot
+    drift (the x1_minhash_portable oracle's pipeline, parameterized by
+    source CTE)."""
+    mins = ",\n           ".join(
+        f"MIN(({dedup._PORT_A[i]} * x + {dedup._PORT_B[i]}) % {dedup._P_PORT}) AS m_{i}"
+        for i in range(num_hashes)
+    )
+    bands = "\n             ".join(
+        "WHEN {b} THEN array_to_string([{slots}], ',')".format(
+            b=b, slots=", ".join(f"m_{b * 4 + j}" for j in range(4))
+        )
+        for b in range(num_hashes // 4)
+    )
+    return rf"""
+{p}_toks AS (
+    SELECT doc_id AS id,
+           regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+    FROM {src_cte}
+),
+{p}_sh AS (
+    SELECT id,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN list_distinct([t[i] || ' ' || t[i+1]
+                                           for i in generate_series(1, len(t) - 1)])
+                       ELSE list_distinct(t) END) AS shingle
+    FROM {p}_toks
+),
+{p}_h AS (
+    SELECT id, shingle,
+           CAST(list_sum([(strpos('0123456789abcdef', md5(shingle)[i]) - 1)
+                          * CAST(power(16, 12 - i) AS BIGINT)
+                          for i in generate_series(1, 12)])
+                % {dedup._P_PORT} AS BIGINT) AS x
+    FROM {p}_sh
+),
+{p}_sig AS (
+    SELECT id, {mins}
+    FROM {p}_h GROUP BY id
+),
+{p}_banded AS (
+    SELECT id, band_idx,
+           CASE band_idx
+             {bands}
+           END AS band_key
+    FROM {p}_sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+)"""
+
+
+def _incremental_minhash_oracle() -> str:
+    """DuckDB replay of the incremental near-dup gate: history store +
+    batch signed with the identical portable pipeline, band equi-join,
+    signature-agreement estimate, per-new-doc best match."""
+    est = " + ".join(
+        f"(CASE WHEN n.m_{i} = h.m_{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return rf"""
+WITH hist_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 < 4
+),
+batch_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+    UNION ALL
+    SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+    FROM documents WHERE doc_id < 20
+),
+{_portable_sig_ctes("hist_docs", "hist")[1:]},
+{_portable_sig_ctes("batch_docs", "new")[1:]},
+cand AS (
+    SELECT DISTINCT nb.id AS new_id, hb.id AS hist_id
+    FROM new_banded nb
+    JOIN hist_banded hb
+      ON nb.band_idx = hb.band_idx AND nb.band_key = hb.band_key
+),
+scored AS (
+    SELECT c.new_id, c.hist_id,
+           round(({est}) / 16.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN new_sig n ON n.id = c.new_id
+    JOIN hist_sig h ON h.id = c.hist_id
+)
+SELECT new_id, hist_id, est_jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY new_id ORDER BY est_jaccard DESC, hist_id ASC) AS rn
+    FROM scored WHERE est_jaccard >= 0.5
+) WHERE rn = 1
+"""
+
+
+@query("x1_incremental_minhash", oracle=_incremental_minhash_oracle())
+def x1_incremental_minhash(spark, sf_dir):
+    """X1 incremental NEAR-dup gate (operators/dedup.minhash_signature_store
+    + incremental_minhash_matches): the day's batch (docs with
+    doc_id % 5 == 4, plus mutated copies of the first 20 docs so true
+    cross-boundary near-dups exist at any scale factor) probed against the
+    TEXT-FREE signature store of the historical corpus (doc_id % 5 < 4).
+    Per batch doc: its best historical near-duplicate by MinHash-estimated
+    Jaccard >= 0.5 — no corpus re-dedup, no historical text touched.  The
+    portable hash family makes the store build, banding, candidate join,
+    estimation, and the best-match pick fully DuckDB-replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 < 4).select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionByName(mutated)
+    )
+    store = dedup.minhash_signature_store(hist)
+    return dedup.incremental_minhash_matches(batch, store, threshold=0.5)

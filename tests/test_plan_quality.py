@@ -716,3 +716,19 @@ def test_extraction_barrier_persist_mode(spark, sf_dir):
         assert sorted(map(tuple, persisted.collect())) == local
     finally:
         spark.catalog.clearCache()
+
+def test_incremental_minhash_single_extraction_equi_join(spark, sf_dir):
+    """x1_incremental_minhash (round 12): both signature relations are
+    extracted ONCE behind barriers (each feeds the band projection AND the
+    candidate-scoring join — without the barrier Catalyst re-runs the
+    shingle/hash extraction per consumer), the candidate space is bounded
+    by the band EQUI-join (never batch x corpus), and no shingle
+    re-extraction survives into the final plan."""
+    plan = _final_plan(registry.QUERIES["x1_incremental_minhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 2 barriers x 2 consumers
+    assert plan.count("Scan ExistingRDD") >= 4, plan
+    # the shingle extraction (array_distinct over the bigram transform)
+    # must be hidden behind the barriers, not inlined per consumer
+    assert "array_distinct" not in plan, plan
