@@ -7,6 +7,8 @@ with the oracle-checked operators, so "weaker driver check" never means
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from etl_for_ecol_fusion_database_spark import registry
@@ -230,3 +232,43 @@ def test_incremental_minhash_recovers_cross_boundary_near_dups(spark, sf_dir):
         hist_id, est = got[new_id]
         assert est >= 0.5
         assert hist_id % 5 < 4  # matched into the history split
+
+
+def test_incremental_minhash_store_round_trips_through_parquet(spark, sf_dir, tmp_path):
+    """Deploy fidelity: the signature store written to parquet and SERVED
+    from the files (barrier_store=False — two column-pruned scans of the
+    persisted artifact instead of a checkpoint copy) must produce exactly
+    the in-memory gate's matches, and the served plan must read the store
+    from parquet rather than re-deriving it."""
+    from pyspark.sql import functions as F
+
+    from etl_for_ecol_fusion_database_spark.catalog import load_table
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 < 4).select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "text")
+        .unionByName(mutated)
+    )
+    store = dedup.minhash_signature_store(hist)
+    in_memory = sorted(
+        map(tuple, dedup.incremental_minhash_matches(batch, store).collect())
+    )
+
+    path = str(tmp_path / "sig_store")
+    store.write.mode("overwrite").parquet(path)
+    served_df = dedup.incremental_minhash_matches(
+        batch, spark.read.parquet(path), barrier_store=False
+    )
+    served = sorted(map(tuple, served_df.collect()))
+    assert served == in_memory and len(served) > 0
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    # the store side must be parquet scans of the signature artifact
+    # (id + m_* columns), not a re-derivation from text
+    assert re.search(r"Scan parquet[^\n]*m_0", plan) or "m_0:bigint" in plan, plan
