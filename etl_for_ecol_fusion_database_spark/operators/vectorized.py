@@ -23,31 +23,22 @@ from pyspark.sql.functions import pandas_udf
 _UDF_CACHE: dict[str, object] = {}
 
 
-def id_series(series: pd.Series, spark_type) -> pd.Series:
-    """Return an Arrow-batch id column as a NULL-preserving pandas series.
+def nullable_int_dtype(spark_type) -> str | None:
+    """Pandas masked extension dtype for a Spark integral type, else None.
 
     The Arrow → pandas conversion inside ``mapInPandas``/``applyInPandas``
     materializes an integer column that contains ANY null as float64
     (NaN) or object — so a kernel that round-trips ids via ``.to_numpy()``
     or ``pd.Series(..., dtype=pdf['id'].dtype)`` either fails the cast
     back to the declared integer schema or silently diverges from the fold
-    plans, which handle null ids natively.  For integral Spark id types
-    this re-types the column as the masked extension dtype
-    (Int8/Int16/Int32/Int64), keeping null ids null end-to-end; other id
-    types pass through unchanged.
+    plans, which handle null ids natively.  ``series.astype()`` to this
+    dtype (Int8/Int16/Int32/Int64) keeps null ids null end-to-end.
 
     Caveat (inherent to the pandas exchange, not fixable here): in a batch
     that mixes nulls with ids of magnitude ≥ 2^53, the non-null ids have
     already transited float64 before the kernel sees them.  Synthetic ids
     that large don't occur in any registered pipeline; fold paths remain
-    the refuge for such data (``kernel="fold"``).
-    """
-    name = _NULLABLE_INT_DTYPE.get(type(spark_type))
-    return series.astype(name) if name is not None else series
-
-
-def nullable_int_dtype(spark_type) -> str | None:
-    """Pandas masked extension dtype for a Spark integral type, else None."""
+    the refuge for such data (``kernel="fold"``)."""
     return _NULLABLE_INT_DTYPE.get(type(spark_type))
 
 
