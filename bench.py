@@ -466,10 +466,16 @@ def main() -> None:
             ["git", "rev-parse", "HEAD"], cwd=repo_dir,
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
-        git_dirty = bool(subprocess.run(
+        porcelain = subprocess.run(
             ["git", "status", "--porcelain"], cwd=repo_dir,
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip())
+        ).stdout
+        # BENCH_RESULTS.json is this instrument's own output — a previous
+        # run's overwrite must not mark the next run's tree dirty
+        git_dirty = any(
+            line.strip() and not line[3:].strip() == "BENCH_RESULTS.json"
+            for line in porcelain.splitlines()
+        )
     except Exception:
         git_head, git_dirty = None, None
 
