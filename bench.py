@@ -163,8 +163,10 @@ HEADLINE = [
     "j10_abandoned_views",
     # round 6: codegen JL-projection twin (vs the portable fold above)
     "x2_random_projection_fast",
-    # round 12: incremental near-dup gate against the signature store
+    # round 12: incremental near-dup gate against the signature store;
+    # duplicated-substring spans (Lee et al. substring-level dedup)
     "x1_incremental_minhash",
+    "x1_duplicated_spans",
 ]
 
 #: FIXED inline panel for the stdout JSON line (VERDICT r08 item #5).

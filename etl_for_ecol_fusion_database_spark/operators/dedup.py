@@ -1708,3 +1708,106 @@ def incremental_minhash_matches(
         (-F.col("_b.nh")).alias("hist_id"),
         F.col("_b.e").alias("est_jaccard"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    min_span: int = 30,
+) -> DataFrame:
+    """Duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): per document, the maximal
+    character spans whose every ``window``-gram also occurs somewhere else
+    in the corpus (another doc or another position of the same doc) —
+    ``(id, span_start, span_len, n_grams)`` for spans of at least
+    ``min_span`` chars.  This is the substring-level dedup signal that
+    exact/near doc-level dedup misses: boilerplate headers, license
+    blocks, and quoted passages embedded in otherwise-unique documents.
+
+    Spark shape (the suffix-array recipe re-expressed in joins, exact up
+    to hash collisions in the gear polynomial — the same code-point
+    ``Σ code·31^j mod p31`` family the CDC chunker replays in DuckDB):
+
+    1. per-doc POSITION-HASH ARRAY in one expression, posexploded to slim
+       ``(id, pos, h)`` long rows — the zero-copy fold shape proven by
+       ``cdc_chunk_rows`` (hashing before exploding keeps the Generate
+       from copying the text into every row);
+    2. duplicated grams via ONE map-side-combined ``groupBy(h)`` — the
+       shuffle carries (hash, count) longs, never text;
+    3. duplicated positions re-attach through one hash equi-join.  The
+       position-hash extraction is deliberately recomputed on both
+       branches instead of barriered: the (id, pos, h) relation is ~20
+       bytes per CHARACTER (20x the text itself), so materializing it
+       would cost far more than the second narrow zero-shuffle hash pass
+       — the opposite trade from the docs x n_buckets barriers in
+       dsir/oov/count-min.  groupBy+join is also chosen over a
+       count-over-window by h: a boilerplate gram occurring millions of
+       times would have to BUFFER its whole partition group in WindowExec,
+       while hash aggregation and the join both spill gracefully;
+    4. maximal spans via gaps-and-islands: per-doc ``lag`` + conditional
+       running sum over the SPARSE duplicated positions (already a small
+       fraction of characters), one keyed window; adjacent duplicated
+       grams chain into one span covering ``last_pos - first_pos +
+       window`` chars.
+
+    Every step is integer arithmetic on the portable hash, so the DuckDB
+    oracle replays positions, duplicate decisions, island boundaries, and
+    span arithmetic bit-for-bit (x1_duplicated_spans)."""
+    from .text import normalize_text
+
+    normed = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
+    poly = " + ".join(f"_codes[i + {j}] * {31 ** j}L" for j in range(window))
+    pos_rows = (
+        normed.select(
+            "id",
+            F.expr(
+                "transform(split(_n, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+            ).alias("_codes"),
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(_codes) - {window}, 0)),"
+                    f" i -> ({poly}) % 2147483647)"
+                )
+            ).alias("i", "h"),
+        )
+        # docs shorter than the window emit a single i=0 entry whose
+        # out-of-bounds code-point lookups make the whole polynomial NULL
+        # (ANSI off, pinned) — drop them, they have no full gram
+        .filter(F.col("h").isNotNull())
+        .select("id", (F.col("i") + 1).alias("pos"), "h")
+    )
+    dup_h = (
+        pos_rows.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("h")
+    )
+    dpos = pos_rows.join(dup_h, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy(F.col("pos").asc())
+    islands = dpos.select(
+        "id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos", 1).over(w) <= 1, F.lit(0)
+            ).otherwise(F.lit(1))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    return (
+        islands.groupBy("id", "g")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + window).cast("int").alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select("id", "span_start", "span_len", "n_grams")
+    )

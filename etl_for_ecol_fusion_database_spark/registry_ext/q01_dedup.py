@@ -418,3 +418,67 @@ def x1_incremental_minhash(spark, sf_dir):
     )
     store = dedup.minhash_signature_store(hist)
     return dedup.incremental_minhash_matches(batch, store, threshold=0.5)
+
+
+#: gear polynomial over code points, window 8 — the operators/dedup
+#: duplicated_spans boundary family (same as the CDC chunker's; DuckDB
+#: ``unicode`` == Spark ``ascii``, full code point).
+_SPAN_POLY = " + ".join(
+    f"CAST(unicode(norm[CAST(p + {j} AS INT)]) AS BIGINT) * {31 ** j}"
+    for j in range(8)
+)
+
+
+@query(
+    "x1_duplicated_spans",
+    oracle=rf"""
+WITH n AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+ph AS (
+    SELECT doc_id,
+           unnest([p for p in generate_series(1, greatest(length(norm) - 7, 0))]) AS pos,
+           unnest([({_SPAN_POLY}) % 2147483647
+                   for p in generate_series(1, greatest(length(norm) - 7, 0))]) AS h
+    FROM n
+),
+dup_h AS (
+    SELECT h FROM ph GROUP BY h HAVING COUNT(*) > 1
+),
+dpos AS (
+    SELECT ph.doc_id, ph.pos FROM ph JOIN dup_h ON dup_h.h = ph.h
+),
+steps AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 1
+                THEN 0 ELSE 1 END AS step
+    FROM dpos
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(step) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+    FROM steps
+)
+SELECT doc_id AS id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS span_len,
+       COUNT(*) AS n_grams
+FROM isl GROUP BY doc_id, g
+HAVING MAX(pos) - MIN(pos) + 8 >= 30
+""",
+)
+def x1_duplicated_spans(spark, sf_dir):
+    """X1 duplicated-substring spans (operators/dedup.duplicated_spans —
+    Lee et al. 2022's substring-level dedup signal): maximal character
+    spans whose every rolling 8-gram occurs elsewhere in the corpus,
+    reported per doc as (span_start, span_len, n_grams) for spans ≥ 30
+    chars.  Catches boilerplate/licenses/quotes embedded in otherwise
+    unique documents — the duplication doc-level dedup misses.  Slim
+    (id, pos, hash) rows end to end: one gram-hash aggregation, one hash
+    equi-join, one per-doc gaps-and-islands window; the gear polynomial
+    replays in DuckDB so positions, islands, and span arithmetic are
+    value-hash-checked."""
+    return dedup.duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=8, min_span=30
+    )

@@ -272,3 +272,30 @@ def test_incremental_minhash_store_round_trips_through_parquet(spark, sf_dir, tm
     # the store side must be parquet scans of the signature artifact
     # (id + m_* columns), not a re-derivation from text
     assert re.search(r"Scan parquet[^\n]*m_0", plan) or "m_0:bigint" in plan, plan
+
+
+def test_duplicated_spans_finds_injected_boilerplate(spark):
+    """Ground truth for the substring-dedup signal: a boilerplate sentence
+    pasted into two otherwise-unique documents must surface as one span
+    per doc covering exactly the shared region; unique text must produce
+    no spans."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
+    boiler = "this notice is licensed under the creative commons license"
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            + boiler),
+        (2, boiler + " kilo lima mike november oscar papa quebec romeo"),
+        (3, "sierra tango uniform victor whiskey xray yankee zulu unique"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in dedup.duplicated_spans(docs, window=8, min_span=30).collect()}
+    assert set(got) == {1, 2}, got
+    # doc 2: the boilerplate starts at position 1; every 8-gram of it is
+    # shared with doc 1, so the span covers exactly len(boiler) chars
+    assert got[2].span_start == 1
+    assert got[2].span_len == len(boiler)
+    # doc 1: the span ends at the document end and has the same length
+    assert got[1].span_len == len(boiler)
+    norm1 = rows[0][1]  # already lowercase, single-spaced
+    assert got[1].span_start == len(norm1) - len(boiler) + 1

@@ -732,3 +732,17 @@ def test_incremental_minhash_single_extraction_equi_join(spark, sf_dir):
     # the shingle extraction (array_distinct over the bigram transform)
     # must be hidden behind the barriers, not inlined per consumer
     assert "array_distinct" not in plan, plan
+
+def test_duplicated_spans_slim_rows_keyed_shuffles(spark, sf_dir):
+    """x1_duplicated_spans (round 12): the position-hash Generate must
+    carry only the doc id (never text/char arrays — O(len²) row copies
+    otherwise), every exchange is keyed (gram agg, optional join, per-doc
+    islands window), and the pair machinery is join-based, never a
+    cartesian or a count-over-window that would buffer a hot gram's whole
+    partition group."""
+    plan = _final_plan(registry.QUERIES["x1_duplicated_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 0, plan
+    m = re.search(r"Generate posexplode\([^\n]*?\), \[(\w+)#\d+L?\]", plan)
+    assert m and m.group(1) == "id", f"Generate must carry only the id\n{plan}"
