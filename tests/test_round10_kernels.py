@@ -360,3 +360,35 @@ def test_arrow_kernels_null_id_parity(spark):
     ).collect()))
     assert fold == arrow and len(fold) > 0
     assert any(t[0] is None for t in arrow), "null-id rows survive the anti-join"
+
+
+def test_duplicated_spans_kernels_identical(spark):
+    """duplicated_spans(kernel='arrow') — one sliding-window matmul per doc
+    — must emit exactly the fold plan's spans (same gear-polynomial hashes,
+    pure int64 arithmetic) across the parity traps: null ids (KEPT here —
+    no id equi-join in this operator), null/empty/short docs, astral
+    chars, and a real corpus slice."""
+    from etl_for_ecol_fusion_database_spark.operators import dedup as dedup_ops
+
+    def nsort(rows):
+        return sorted(rows, key=lambda t: [(v is None, v) for v in t])
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 10),
+        (None, "the quick brown fox jumps over the lazy dog " * 10),
+        (3, None),
+        (4, ""),
+        (5, "short"),
+        (6, "ab\U00010348cdef " * 40),
+        (7, "ab\U00010348cdef " * 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = nsort(map(tuple, dedup_ops.duplicated_spans(docs, kernel="fold").collect()))
+    arrow = nsort(map(tuple, dedup_ops.duplicated_spans(docs, kernel="arrow").collect()))
+    assert fold == arrow and len(fold) >= 4
+    assert any(t[0] is None for t in arrow), "null-id spans must survive"
+
+    corpus = load_table(spark, SF_CORRECT, "documents")
+    fold = nsort(map(tuple, dedup_ops.duplicated_spans(corpus, kernel="fold").collect()))
+    arrow = nsort(map(tuple, dedup_ops.duplicated_spans(corpus, kernel="arrow").collect()))
+    assert fold == arrow and len(fold) > 100
