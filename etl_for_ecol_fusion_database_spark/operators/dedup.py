@@ -1839,7 +1839,8 @@ def duplicated_spans(
         # round-11 CDC kernel removed — O(len x window) lambda evaluations
         # per doc; the Arrow pass is one sliding-window int64 matmul per
         # doc, hashes bit-identical (pure int64 arithmetic, pinned in
-        # tests).  Measured 6.1 -> ~2 s at sf0.1 / 42 -> ~13 s at sf1.
+        # tests).  Probe medians: 6.1 -> 4.1 s at sf0.1, 42 -> 22 s at
+        # sf1 (fresh-session runs read as low as 2.2 s at sf0.1).
         pos_rows = _duplicated_pos_rows_arrow(normed, window)
     else:
         poly = " + ".join(f"_codes[i + {j}] * {31 ** j}L" for j in range(window))
