@@ -137,20 +137,22 @@ def _rotated_names() -> list[str]:
         # actual writeStream path (VERDICT round-3 item #8)
         "x5_stream_curation_replay",
     ]
-    # VERDICT r08 item #1: these queries' witnesses were re-anchored via
-    # the committed round-8 local verify (--accept-verified after the
-    # fingerprint-algorithm change), i.e. builder-produced verification —
-    # categorically weaker than a driver sheet row.  They outrank the pure
-    # least-recently-witnessed tail until each earns a fresh driver-green
-    # row; once the r09 sheet lands, the normal LRW ordering makes this
-    # list a no-op (they become the most recently witnessed).
-    reanchored = [
-        "s21_jsonl_corrupt_records", "s23_binaryfile_scan",
-        "x1_cdc_chunks", "x1_dup_explain", "x1_incremental_dedup",
-        "x1_minhash_accuracy", "x2_mmr_rerank", "x2_random_projection",
-        "x2_random_projection_fast", "x3_bpe_pair_counts",
-        "x3_hashing_features", "x6_shard_manifest", "x9_curation_v3",
-    ]
+    # VERDICT r12 item #1 (generalizing the retired r08 hardcoded list):
+    # a query whose witness was re-anchored via builder-run verification
+    # (update_witness_fp.py --accept-verified) has evidence categorically
+    # weaker than a driver sheet row.  The accept path records each such
+    # name in docs/WITNESS_REANCHOR.json together with the newest driver
+    # sheet round at accept time; those names outrank the pure
+    # least-recently-witnessed tail until each earns a driver row from a
+    # LATER round — the comparison below then self-retires the entry (and
+    # the next update_witness_fp.py run prunes it from the ledger).
+    try:
+        from etl_for_ecol_fusion_database_spark import witness as _witness
+
+        reanchored = _witness.reanchored_rounds()
+    except Exception:
+        # ledger loading must never take down the driver contract
+        reanchored = {}
     witnessed = _witnessed_names()
     names = list(registry.QUERIES)
     priority = [n for n in priority if n in names and n not in witnessed]
@@ -160,14 +162,10 @@ def _rotated_names() -> list[str]:
     ]
     last_round = _last_witness_round()
     order = {n: i for i, n in enumerate(names)}
-    # self-retiring: a re-anchored name outranks the LRW tail only while
-    # its newest driver-green row predates the round-8 re-anchoring; a
-    # fresh sheet row flips the key to the normal LRW position
-    rean = frozenset(reanchored)
     seen = sorted(
         (n for n in names if n in witnessed),
         key=lambda n: (
-            0 if n in rean and last_round.get(n, 0) <= 8 else 1,
+            0 if last_round.get(n, 0) <= reanchored.get(n, -1) else 1,
             last_round.get(n, 0),
             order[n],
         ),

@@ -56,6 +56,36 @@ _REPO_DIR = os.path.dirname(_PKG_DIR)
 #: committed fingerprint snapshot consumed by __spark_entry__._witnessed_names
 RECORDED_PATH = os.path.join(_REPO_DIR, "docs", "WITNESS_FP.json")
 
+#: committed re-anchor ledger (VERDICT r12 item #1): maps each query whose
+#: witness was re-anchored via builder-run verification
+#: (``update_witness_fp.py --accept-verified``) to the round number of the
+#: newest driver CORRECTNESS sheet that existed at accept time.  A
+#: builder-verified witness is categorically weaker than a driver sheet
+#: row, so ``__spark_entry__._rotated_names`` outranks these names over
+#: the pure least-recently-witnessed tail until each earns a driver row
+#: from a LATER round — at which point the comparison self-retires the
+#: entry (and the next ``update_witness_fp.py`` run prunes it from the
+#: file).  This generalizes the hardcoded round-8 list that round 12
+#: showed cannot keep up: 9 names re-anchored in round 12 sat at rotation
+#: positions 123–136, outside the 50-slot window, with no mechanism to
+#: pull them forward.
+REANCHOR_PATH = os.path.join(_REPO_DIR, "docs", "WITNESS_REANCHOR.json")
+
+
+def reanchored_rounds() -> dict[str, int]:
+    """The committed re-anchor ledger (see ``REANCHOR_PATH``); {} when
+    absent or unreadable — degrading to the plain LRW rotation, never
+    crashing the driver contract."""
+    try:
+        with open(REANCHOR_PATH) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return {
+        k: v for k, v in data.items()
+        if isinstance(k, str) and isinstance(v, int)
+    }
+
 #: how deep to follow function -> referenced-function chains.  Raised
 #: from 3 in round 8: module-handle narrowing turned what used to be a
 #: terminal whole-file hash into source recursion, so operator-internal

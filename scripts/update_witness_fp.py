@@ -118,6 +118,40 @@ def main() -> None:
                 accepted.append(name)
             recorded[name] = current[name]
 
+    # Re-anchor ledger maintenance (VERDICT r12 item #1).  Every name
+    # whose fingerprint was just re-anchored from builder verification is
+    # recorded with the round of the NEWEST driver sheet that exists right
+    # now: its witness no longer rests on a driver row, so the rotation in
+    # __spark_entry__ must outrank it over the LRW tail until a driver row
+    # from a later round lands.  Entries self-retire: once the sheets show
+    # a satisfactory driver row from a round AFTER the recorded one (or the
+    # name is unregistered), they are pruned here.
+    newest_round = int(re.search(r"r(\d+)", os.path.basename(sheets[-1])).group(1))
+    reanchor = witness.reanchored_rounds()
+    for name in accepted:
+        reanchor[name] = max(reanchor.get(name, 0), newest_round)
+    driver_last: dict[str, int] = {}
+    for path in sheets:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        try:
+            with open(path) as fh:
+                sheet = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in sheet.items():
+            if _satisfactory(rec, name):
+                driver_last[name] = max(driver_last.get(name, 0), rnd)
+    retired = sorted(
+        n for n, rnd in reanchor.items()
+        if n not in current or driver_last.get(n, 0) > rnd
+    )
+    for n in retired:
+        del reanchor[n]
+    if accepted or retired or not os.path.exists(witness.REANCHOR_PATH):
+        with open(witness.REANCHOR_PATH, "w") as fh:
+            json.dump(dict(sorted(reanchor.items())), fh, indent=1)
+            fh.write("\n")
+
     boot = []
     if bootstrap:
         ever_green: set[str] = set()

@@ -108,6 +108,9 @@ def test_accept_verified_refuses_stale_fingerprint(tmp_path, monkeypatch):
     snap = tmp_path / "WITNESS_FP.json"
     snap.write_text(json.dumps({name: "old-recorded-fp"}))
     monkeypatch.setattr(witness, "RECORDED_PATH", str(snap))
+    monkeypatch.setattr(
+        witness, "REANCHOR_PATH", str(tmp_path / "WITNESS_REANCHOR.json")
+    )
 
     verified = tmp_path / "verify.json"
     verified.write_text(json.dumps({
@@ -145,6 +148,8 @@ def test_accept_verified_accepts_matching_fingerprint(tmp_path, monkeypatch):
     snap = tmp_path / "WITNESS_FP.json"
     snap.write_text(json.dumps({name: "old-recorded-fp"}))
     monkeypatch.setattr(witness, "RECORDED_PATH", str(snap))
+    ledger = tmp_path / "WITNESS_REANCHOR.json"
+    monkeypatch.setattr(witness, "REANCHOR_PATH", str(ledger))
 
     verified = tmp_path / "verify.json"
     verified.write_text(json.dumps({
@@ -157,29 +162,82 @@ def test_accept_verified_accepts_matching_fingerprint(tmp_path, monkeypatch):
     mod.main()  # no SystemExit
     recorded = json.loads(snap.read_text())
     assert recorded.get(name) == current_fp
+    # VERDICT r12 item #1: the accept must also record the re-anchor in
+    # the ledger, stamped with the newest driver sheet round — the name's
+    # witness now rests on builder verification, so the rotation must
+    # outrank it until a driver row from a later round lands
+    import re as _re
+
+    newest_round = max(
+        int(_re.search(r"r(\d+)", p).group(1))
+        for p in os.listdir(REPO) if p.startswith("CORRECTNESS_r")
+    )
+    assert json.loads(ledger.read_text()).get(name) == newest_round
 
 
 # ------------------------------------------------------ rotation priority
 
 
 def test_reanchored_names_outrank_lrw_tail_until_fresh_row():
-    """VERDICT r08 item #1: the 13 names whose witness rests on the
-    committed round-8 local verify must land in the driver's 50-slot
-    sample window ahead of the pure LRW tail — self-retiring once each
-    earns a driver-green row newer than round 8."""
+    """VERDICT r12 item #1 (generalized from the retired r08 hardcoded
+    list): every name in the committed re-anchor ledger whose newest
+    driver-green row is no newer than its recorded re-anchor round must
+    land in the driver's 50-slot sample window ahead of the pure LRW
+    tail — self-retiring once a later driver row lands."""
     names = entrymod._rotated_names()
     last = entrymod._last_witness_round()
     window = set(names[:50])
-    reanchored = [
-        "s21_jsonl_corrupt_records", "s23_binaryfile_scan",
-        "x1_cdc_chunks", "x1_dup_explain", "x1_incremental_dedup",
-        "x1_minhash_accuracy", "x2_mmr_rerank", "x2_random_projection",
-        "x2_random_projection_fast", "x3_bpe_pair_counts",
-        "x3_hashing_features", "x6_shard_manifest", "x9_curation_v3",
-    ]
-    for n in reanchored:
-        if n in registry.QUERIES and last.get(n, 0) <= 8:
+    for n, rnd in witness.reanchored_rounds().items():
+        if n in registry.QUERIES and last.get(n, 0) <= rnd:
             assert n in window, (n, names.index(n))
+
+
+def test_reanchor_ledger_self_retires_on_fresh_driver_row(tmp_path, monkeypatch):
+    """A ledger entry with a driver-green row from a LATER round is pruned
+    by the next update_witness_fp.py run, and an unregistered name is
+    pruned too — the ledger never grows monotonically."""
+    mod = _load_update_script()
+    # a name with a hash-PASS driver row in a sheet newer than round 1,
+    # so the ledger entry below is genuinely outdated
+    newest = sorted(
+        p for p in os.listdir(REPO) if p.startswith("CORRECTNESS_r")
+    )[-1]
+    with open(os.path.join(REPO, newest)) as fh:
+        retired_name = next(
+            n for n, r in json.load(fh).items()
+            if isinstance(r, dict) and r.get("hash_match") is True
+        )
+    snap = tmp_path / "WITNESS_FP.json"
+    snap.write_text(json.dumps({}))
+    monkeypatch.setattr(witness, "RECORDED_PATH", str(snap))
+    ledger = tmp_path / "WITNESS_REANCHOR.json"
+    ledger.write_text(json.dumps({
+        retired_name: 1,              # any driver row after r01 retires it
+        "no_such_query_xyz": 99,      # unregistered -> pruned
+    }))
+    monkeypatch.setattr(witness, "REANCHOR_PATH", str(ledger))
+    monkeypatch.setattr(sys, "argv", ["update_witness_fp.py", "--no-sheet"])
+    mod.main()
+    after = json.loads(ledger.read_text())
+    assert retired_name not in after
+    assert "no_such_query_xyz" not in after
+
+
+def test_reanchor_ledger_kept_while_no_later_driver_row(tmp_path, monkeypatch):
+    """The inverse: an entry whose re-anchor round is >= every driver row
+    for that name survives the prune — it is still waiting for its fresh
+    sheet row."""
+    mod = _load_update_script()
+    name = next(iter(registry.ORACLES))
+    snap = tmp_path / "WITNESS_FP.json"
+    snap.write_text(json.dumps({}))
+    monkeypatch.setattr(witness, "RECORDED_PATH", str(snap))
+    ledger = tmp_path / "WITNESS_REANCHOR.json"
+    ledger.write_text(json.dumps({name: 9999}))
+    monkeypatch.setattr(witness, "REANCHOR_PATH", str(ledger))
+    monkeypatch.setattr(sys, "argv", ["update_witness_fp.py", "--no-sheet"])
+    mod.main()
+    assert json.loads(ledger.read_text()) == {name: 9999}
 
 
 # --------------------------------------------------------- bench panel
