@@ -433,6 +433,13 @@ def main() -> None:
             continue
         all_runs[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]
+        # ADVICE r12: under SPARK_GRAFT_BARRIER=persist each barriered
+        # query leaks one DISK_ONLY cached relation the query author can't
+        # release; drop them between queries so a long panel doesn't
+        # accumulate session-lifetime disk.  No-op in the default local
+        # mode (localCheckpoint blocks are not cache-manager entries).
+        if os.environ.get("SPARK_GRAFT_BARRIER", "").strip().lower() == "persist":
+            spark.catalog.clearCache()
 
     # ingest-shaped copy (BASELINE.md): read the two biggest tables, apply the
     # fusion-style transform (lineage lit + derived cols), write parquet.
@@ -468,16 +475,17 @@ def main() -> None:
             ["git", "rev-parse", "HEAD"], cwd=repo_dir,
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
-        porcelain = subprocess.run(
-            ["git", "status", "--porcelain"], cwd=repo_dir,
-            capture_output=True, text=True, timeout=10,
-        ).stdout
         # BENCH_RESULTS.json is this instrument's own output — a previous
-        # run's overwrite must not mark the next run's tree dirty
-        git_dirty = any(
-            line.strip() and not line[3:].strip() == "BENCH_RESULTS.json"
-            for line in porcelain.splitlines()
-        )
+        # run's overwrite must not mark the next run's tree dirty.  The
+        # exclusion is a git pathspec (ADVICE r12), not string-slicing of
+        # porcelain lines: slicing misclassified rename entries
+        # ("R  old -> new") and quoted paths.
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain", "--", ".",
+             ":(exclude)BENCH_RESULTS.json"],
+            cwd=repo_dir, capture_output=True, text=True, timeout=10,
+        ).stdout
+        git_dirty = bool(porcelain.strip())
     except Exception:
         git_head, git_dirty = None, None
 

@@ -26,6 +26,18 @@ The default can be swapped fleet-wide via ``SPARK_GRAFT_BARRIER=persist``
 without touching query code — registered queries have fixed
 ``(spark, sf_dir)`` signatures, so the env knob is how a deployment opts
 into the fault-tolerant barrier.
+
+.. note:: **persist-mode lifetime** (ADVICE r12): ``persist`` registers the
+   relation in the session's cache manager and nothing here unpersists it —
+   the barriered relation is an anonymous intermediate the caller never
+   sees, so the query author CANNOT release it.  In a long-lived session
+   that runs many barriered queries (the 187-query sweep, the bench
+   harness), each query leaks one DISK_ONLY cached relation for the
+   session's lifetime.  Harnesses that set ``SPARK_GRAFT_BARRIER=persist``
+   must call ``spark.catalog.clearCache()`` between queries (bench.py and
+   scripts/verify_local.py do; the persist-mode plan test does too).  The
+   cached relations are bounded (docs x n_buckets / vocabulary size), so
+   the leak is slow — but it is unbounded over session lifetime.
 """
 
 from __future__ import annotations

@@ -616,7 +616,7 @@ def _pq_encode_arrow(
             if len(pdf) == 0:
                 continue
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
-            ids = pdf["id"].astype(id_dtype) if id_dtype else pdf["id"]
+            ids = vectorized.checked_id_series(pdf["id"], id_dtype)
             n = v.shape[0]
             codes = np.empty((m, n), dtype=np.int32)
             for j in range(m):

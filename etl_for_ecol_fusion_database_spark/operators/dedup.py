@@ -154,6 +154,22 @@ def ngram_jaccard_pairs(
 
 #: 64-bit odd multipliers/offsets for the universal-hash MinHash family
 #: h_i(x) = a_i * xxhash64(x) + b_i  (mod 2^64, Java long wraparound)
+def _bands_divide(num_hashes: int, n_bands: int) -> int:
+    """Rows-per-band for LSH banding.  Raises when ``n_bands`` does not
+    divide ``num_hashes``: flooring would silently drop the trailing
+    ``num_hashes % n_bands`` signature slots from every band key and
+    weaken banding recall with no error (ADVICE r12) — and the DuckDB
+    oracle twins derive their slots-per-band from this same division, so
+    a silent floor here would also desynchronize them."""
+    if n_bands <= 0 or num_hashes % n_bands != 0:
+        raise ValueError(
+            "n_bands must evenly divide num_hashes; got "
+            f"num_hashes={num_hashes}, n_bands={n_bands} "
+            f"(remainder {num_hashes % n_bands if n_bands > 0 else num_hashes})"
+        )
+    return num_hashes // n_bands
+
+
 _GOLDEN = 0x9E3779B97F4A7C15
 
 
@@ -269,7 +285,7 @@ def minhash_lsh_pairs(
     signature is degenerate.  Pass ``None`` to disable (test/ground-truth
     use).  Use ``lsh_dropped_buckets`` to audit what the cap excluded.
     """
-    r = num_hashes // n_bands
+    r = _bands_divide(num_hashes, n_bands)
     sh = shingle_rows(df, id_col, text_col, n)  # (id, shingle) rows, codegen
     # ONE per-doc aggregation produces the signature AND the shingle-set
     # size (sh is already distinct) — instead of separate signature and size
@@ -436,7 +452,7 @@ def lsh_dropped_buckets(
     """Audit companion to ``minhash_lsh_pairs``: the band buckets the cap
     excluded, with member counts — run (and log) this beside the dedup job so
     'what was dropped' is observable, not silent."""
-    r = num_hashes // n_bands
+    r = _bands_divide(num_hashes, n_bands)
     sh = shingle_rows(df, id_col, text_col, n)
     sigs = minhash_signatures_df(sh, num_hashes=num_hashes)
     banded = sigs.select(
@@ -500,7 +516,7 @@ def minhash_lsh_pairs_portable(
     band keys as joined strings (vs xxhash64 of the band slots), and
     string-keyed intersection counting (vs 8-byte hash keys).  Same
     shuffle structure, so the scale posture is unchanged."""
-    r = num_hashes // n_bands
+    r = _bands_divide(num_hashes, n_bands)
     sh = shingle_rows(df, id_col, text_col, n)
     pairs = sh.withColumn("x", portable_hash_expr("shingle"))
     per_doc = pairs.groupBy("id").agg(
@@ -1392,7 +1408,7 @@ def _cdc_chunk_rows_arrow(normed: DataFrame, window: int, modulus: int) -> DataF
 
         for pdf in batches:
             ids, idxs, starts, chunks = [], [], [], []
-            in_ids = pdf["id"].astype(id_dtype) if id_dtype else pdf["id"]
+            in_ids = vectorized.checked_id_series(pdf["id"], id_dtype)
             for doc_id, s in zip(in_ids, pdf["_n"]):
                 if doc_id is None or doc_id is pd.NA:
                     continue  # fold parity: the text re-attach join drops null ids
@@ -1473,7 +1489,7 @@ def minhash_estimate_report(
     joins of num_hashes longs; exact Jaccard via the shared-shingle count
     join on candidates only.
     """
-    r = num_hashes // n_bands
+    r = _bands_divide(num_hashes, n_bands)
     sh = shingle_rows(df, id_col, text_col, n)
     pairs = sh.withColumn("x", portable_hash_expr("shingle"))
     per_doc = pairs.groupBy("id").agg(
@@ -1593,7 +1609,7 @@ def _portable_band_rows(sig: DataFrame, *, num_hashes: int, n_bands: int) -> Dat
     relation — a narrow zero-shuffle projection (the band key is the
     joined string of the band's signature slots, the same key
     :func:`minhash_lsh_pairs_portable` self-joins on)."""
-    r = num_hashes // n_bands
+    r = _bands_divide(num_hashes, n_bands)
     return sig.select(
         "id",
         F.posexplode(
@@ -1739,7 +1755,7 @@ def _duplicated_pos_rows_arrow(normed: DataFrame, window: int) -> DataFrame:
 
         for pdf in batches:
             ids, poss, hs = [], [], []
-            in_ids = pdf["id"].astype(id_dtype) if id_dtype else pdf["id"]
+            in_ids = vectorized.checked_id_series(pdf["id"], id_dtype)
             for doc_id, s in zip(in_ids, pdf["_n"]):
                 if s is None:
                     continue

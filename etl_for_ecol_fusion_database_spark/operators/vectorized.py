@@ -38,8 +38,39 @@ def nullable_int_dtype(spark_type) -> str | None:
     that mixes nulls with ids of magnitude ≥ 2^53, the non-null ids have
     already transited float64 before the kernel sees them.  Synthetic ids
     that large don't occur in any registered pipeline; fold paths remain
-    the refuge for such data (``kernel="fold"``)."""
+    the refuge for such data (``kernel="fold"``).  Kernels must cast
+    through :func:`checked_id_series`, which turns that caveat from a
+    docstring convention into a loud error (ADVICE r12)."""
     return _NULLABLE_INT_DTYPE.get(type(spark_type))
+
+
+#: largest magnitude float64 represents exactly for every integer
+_FLOAT64_EXACT_MAX = 2 ** 53
+
+
+def checked_id_series(raw: pd.Series, dtype: str | None) -> pd.Series:
+    """Cast an Arrow-exchanged id column to its masked extension ``dtype``,
+    REFUSING silent float64 precision loss (ADVICE r12).
+
+    When a batch mixes NULL ids with large ids, Arrow → pandas materializes
+    the column as float64; any id of magnitude ≥ 2^53 has then already lost
+    precision before the kernel sees it, and ``astype('Int64')`` would
+    launder the damaged value back into an exact-looking integer.  The
+    guard fires only when the column actually transited float (a batch
+    with no nulls arrives as int64 and skips the scan), and directs the
+    caller to the fold plan, which handles such ids natively."""
+    if dtype is None:
+        return raw
+    if raw.dtype.kind == "f":
+        vals = raw.to_numpy()
+        finite = np.isfinite(vals)
+        if finite.any() and np.abs(vals[finite]).max() >= _FLOAT64_EXACT_MAX:
+            raise ValueError(
+                "id column transited float64 (batch mixes nulls with ids of "
+                "magnitude >= 2^53): non-null ids may have lost precision "
+                "before the kernel ran — use kernel='fold' for this data"
+            )
+    return raw.astype(dtype)
 
 
 def _build_nullable_map():

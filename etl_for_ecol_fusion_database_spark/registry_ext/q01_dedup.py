@@ -115,26 +115,28 @@ def x1_minhash_near_dup(spark, sf_dir):
     )
 
 
-def _minhash_portable_oracle() -> str:
+def _minhash_portable_oracle(num_hashes: int = 16, n_bands: int = 4) -> str:
     """DuckDB replay of the ENTIRE portable MinHash+LSH pipeline — built
     from the same constants as operators/dedup.minhash_lsh_pairs_portable
-    so the two cannot drift."""
+    so the two cannot drift; slots-per-band from the same validated
+    division as the Spark side (dedup._bands_divide, ADVICE r12)."""
+    r = dedup._bands_divide(num_hashes, n_bands)
     mins = ",\n           ".join(
         f"MIN(({dedup._PORT_A[i]} * x + {dedup._PORT_B[i]}) % {dedup._P_PORT}) AS m_{i}"
-        for i in range(16)
+        for i in range(num_hashes)
     )
     bands = "\n             ".join(
         "WHEN {b} THEN array_to_string([{slots}], ',')".format(
-            b=b, slots=", ".join(f"m_{b * 4 + j}" for j in range(4))
+            b=b, slots=", ".join(f"m_{b * r + j}" for j in range(r))
         )
-        for b in range(4)
+        for b in range(n_bands)
     )
     return rf"""
 WITH docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
-    FROM documents WHERE doc_id < 20
+    FROM documents WHERE doc_id < {N_SYNTHETIC_NEAR_DUPS}
 ),
 toks AS (
     SELECT doc_id AS id,
@@ -168,7 +170,7 @@ banded AS (
            CASE band_idx
              {bands}
            END AS band_key
-    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+    FROM sig CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(n_bands))}]) AS band_idx)
 ),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
@@ -230,7 +232,7 @@ WITH docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
-    FROM documents WHERE doc_id < 20
+    FROM documents WHERE doc_id < {N_SYNTHETIC_NEAR_DUPS}
 ),
 tok AS (
     SELECT doc_id AS id,
@@ -302,21 +304,25 @@ def x1_embedding_near_dup(spark, sf_dir):
 
 
 
-def _portable_sig_ctes(src_cte: str, p: str, num_hashes: int = 16) -> str:
+def _portable_sig_ctes(
+    src_cte: str, p: str, num_hashes: int = 16, n_bands: int = 4
+) -> str:
     """toks → shingles → hash → signature → band CTE chain for ONE side of
     the incremental near-dup probe, built from the same portable-family
     constants as operators/dedup.minhash_signature_store so the two cannot
     drift (the x1_minhash_portable oracle's pipeline, parameterized by
-    source CTE)."""
+    source CTE).  Slots-per-band come from the SAME division the Spark
+    side validates (dedup._bands_divide, ADVICE r12) — not a hardcoded 4."""
+    r = dedup._bands_divide(num_hashes, n_bands)
     mins = ",\n           ".join(
         f"MIN(({dedup._PORT_A[i]} * x + {dedup._PORT_B[i]}) % {dedup._P_PORT}) AS m_{i}"
         for i in range(num_hashes)
     )
     bands = "\n             ".join(
         "WHEN {b} THEN array_to_string([{slots}], ',')".format(
-            b=b, slots=", ".join(f"m_{b * 4 + j}" for j in range(4))
+            b=b, slots=", ".join(f"m_{b * r + j}" for j in range(r))
         )
-        for b in range(num_hashes // 4)
+        for b in range(n_bands)
     )
     return rf"""
 {p}_toks AS (
@@ -350,7 +356,7 @@ def _portable_sig_ctes(src_cte: str, p: str, num_hashes: int = 16) -> str:
            CASE band_idx
              {bands}
            END AS band_key
-    FROM {p}_sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+    FROM {p}_sig CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(n_bands))}]) AS band_idx)
 )"""
 
 
@@ -369,7 +375,7 @@ batch_docs AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
     UNION ALL
     SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
-    FROM documents WHERE doc_id < 20
+    FROM documents WHERE doc_id < {N_SYNTHETIC_NEAR_DUPS}
 ),
 {_portable_sig_ctes("hist_docs", "hist")[1:]},
 {_portable_sig_ctes("batch_docs", "new")[1:]},
@@ -398,16 +404,17 @@ SELECT new_id, hist_id, est_jaccard FROM (
 def x1_incremental_minhash(spark, sf_dir):
     """X1 incremental NEAR-dup gate (operators/dedup.minhash_signature_store
     + incremental_minhash_matches): the day's batch (docs with
-    doc_id % 5 == 4, plus mutated copies of the first 20 docs so true
-    cross-boundary near-dups exist at any scale factor) probed against the
-    TEXT-FREE signature store of the historical corpus (doc_id % 5 < 4).
-    Per batch doc: its best historical near-duplicate by MinHash-estimated
-    Jaccard >= 0.5 — no corpus re-dedup, no historical text touched.  The
-    portable hash family makes the store build, banding, candidate join,
-    estimation, and the best-match pick fully DuckDB-replayable."""
+    doc_id % 5 == 4, plus mutated copies of the first N_SYNTHETIC_NEAR_DUPS
+    docs so true cross-boundary near-dups exist at any scale factor) probed
+    against the TEXT-FREE signature store of the historical corpus
+    (doc_id % 5 < 4).  Per batch doc: its best historical near-duplicate by
+    MinHash-estimated Jaccard >= 0.5 — no corpus re-dedup, no historical
+    text touched.  The portable hash family makes the store build, banding,
+    candidate join, estimation, and the best-match pick fully
+    DuckDB-replayable."""
     docs = _t(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 5 < 4).select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") < 20).select(
+    mutated = docs.filter(F.col("doc_id") < N_SYNTHETIC_NEAR_DUPS).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),
     )

@@ -163,6 +163,11 @@ def main(only=None):
         if status == "FAIL":
             print(json.dumps({k: v for k, v in rec.items() if k != "trace"},
                              default=str), flush=True)
+        # ADVICE r12: persist-mode barriers leak one cached relation per
+        # barriered query for the session lifetime; release between queries
+        # (no-op under the default local mode)
+        if os.environ.get("SPARK_GRAFT_BARRIER", "").strip().lower() == "persist":
+            spark.catalog.clearCache()
 
     fails = {k: v for k, v in results.items()
              if not v.get("hash_match") and v.get("err") != "no_oracle"}

@@ -221,9 +221,15 @@ def test_incremental_minhash_recovers_cross_boundary_near_dups(spark, sf_dir):
     from etl_for_ecol_fusion_database_spark import registry
     from etl_for_ecol_fusion_database_spark.operators import dedup
 
+    from etl_for_ecol_fusion_database_spark.registry_ext._shared import (
+        N_SYNTHETIC_NEAR_DUPS,
+    )
+
     rows = registry.QUERIES["x1_incremental_minhash"](spark, sf_dir).collect()
     got = {r.new_id: (r.hist_id, r.est_jaccard) for r in rows}
-    eligible = [i + 1_000_000 for i in range(20) if i % 5 < 4]
+    eligible = [
+        i + 1_000_000 for i in range(N_SYNTHETIC_NEAR_DUPS) if i % 5 < 4
+    ]
     hit = [i for i in eligible if i in got]
     # MinHash banding is probabilistic per doc, but at J ~ 0.9 with 4 bands
     # of 4 rows the per-doc miss rate is tiny; require near-total recall
@@ -245,9 +251,13 @@ def test_incremental_minhash_store_round_trips_through_parquet(spark, sf_dir, tm
     from etl_for_ecol_fusion_database_spark.catalog import load_table
     from etl_for_ecol_fusion_database_spark.operators import dedup
 
+    from etl_for_ecol_fusion_database_spark.registry_ext._shared import (
+        N_SYNTHETIC_NEAR_DUPS,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 5 < 4).select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") < 20).select(
+    mutated = docs.filter(F.col("doc_id") < N_SYNTHETIC_NEAR_DUPS).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),
     )

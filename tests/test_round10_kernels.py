@@ -392,3 +392,46 @@ def test_duplicated_spans_kernels_identical(spark):
     fold = nsort(map(tuple, dedup_ops.duplicated_spans(corpus, kernel="fold").collect()))
     arrow = nsort(map(tuple, dedup_ops.duplicated_spans(corpus, kernel="arrow").collect()))
     assert fold == arrow and len(fold) > 100
+
+
+def test_checked_id_series_refuses_float_transit_precision_loss():
+    """ADVICE r12: a batch mixing NULL ids with ids >= 2^53 arrives in the
+    kernel as float64 — the precision loss already happened upstream, so
+    the cast helper must refuse loudly instead of laundering the damaged
+    values back into exact-looking Int64."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from etl_for_ecol_fusion_database_spark.operators import vectorized
+
+    # no-null batch arrives int64: exact, no guard needed
+    ok = vectorized.checked_id_series(pd.Series([1, 2, 3]), "Int64")
+    assert list(ok) == [1, 2, 3] and str(ok.dtype) == "Int64"
+    # nulls force float64 transit but small magnitudes stay exact
+    small = vectorized.checked_id_series(
+        pd.Series([1.0, None, 3.0], dtype="float64"), "Int64"
+    )
+    assert small.isna().tolist() == [False, True, False]
+    # nulls + >= 2^53 magnitude: refuse
+    with _pytest.raises(ValueError, match="2\\^53"):
+        vectorized.checked_id_series(
+            pd.Series([float(2**53 + 2), None], dtype="float64"), "Int64"
+        )
+    # dtype=None passes through untouched (non-integral id columns)
+    s = pd.Series(["a", None])
+    assert vectorized.checked_id_series(s, None) is s
+
+
+def test_bands_divide_rejects_uneven_banding():
+    """ADVICE r12: LSH banding must raise when n_bands does not divide
+    num_hashes — flooring silently dropped the trailing signature slots
+    from every band key (recall loss with no error)."""
+    import pytest as _pytest
+
+    from etl_for_ecol_fusion_database_spark.operators import dedup as dedup_ops
+
+    assert dedup_ops._bands_divide(16, 4) == 4
+    assert dedup_ops._bands_divide(32, 8) == 4
+    for nh, nb in [(16, 5), (16, 3), (10, 4), (16, 0)]:
+        with _pytest.raises(ValueError, match="divide"):
+            dedup_ops._bands_divide(nh, nb)
