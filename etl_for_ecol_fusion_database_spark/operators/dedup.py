@@ -1911,3 +1911,162 @@ def duplicated_spans(
         .filter(F.col("span_len") >= min_span)
         .select("id", "span_start", "span_len", "n_grams")
     )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 8,
+    min_span: int = 30,
+    kernel: str = "auto",
+) -> DataFrame:
+    """Span REMOVAL — the apply half of :func:`duplicated_spans` (Lee et
+    al. 2022 §4: the actual intervention is cutting the duplicated
+    substrings out of the training text, not just reporting them).  Per
+    document: the NORMALIZED text with every qualifying duplicated span
+    cut out — ``(id, clean_text, chars_removed, n_spans_removed)`` — docs
+    with no qualifying span pass through unchanged with zeros.
+
+    Shape on top of the span finder's plan:
+
+    1. qualifying spans come from :func:`duplicated_spans` (same window /
+       min_span semantics, same kernel dispatch);
+    2. spans are merged into disjoint character intervals first — two
+       maximal GRAM islands are >=2 apart in gram positions yet their
+       char ranges (each extending ``window - 1`` past its last gram) can
+       overlap, and cutting overlapping ranges independently would
+       double-count removed chars.  Merge = one more keyed
+       gaps-and-islands over the (already tiny) span relation: running
+       ``max(end)`` + conditional sum, then min/max per island;
+    3. surgery is pure built-ins: per doc, ``array_sort(collect_list(
+       struct(s, e)))`` over its (few) intervals, then ONE ``aggregate``
+       fold emitting the kept segments via ``substring`` — no UDF, no
+       second pass over the corpus text (the only full-text operations
+       are the normalize projection and the final substrings);
+    4. docs without spans re-attach by left anti/outer join and keep
+       their normalized text verbatim.
+
+    Scale: every shuffle is keyed by doc id on relations bounded by the
+    sparse span set; the corpus text itself moves through one projection
+    (normalize) and one join against the per-doc interval arrays — no
+    text ever enters a groupBy key or a window buffer.  Integer substring
+    arithmetic end to end, so the DuckDB oracle replays the cut text
+    bit-for-bit (x1_span_scrub)."""
+    from .text import normalize_text
+
+    spans = duplicated_spans(
+        df, id_col, text_col, window=window, min_span=min_span, kernel=kernel
+    ).select(
+        "id",
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_len")).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("s").asc())
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = spans.select(
+        "id",
+        "s",
+        "e",
+        F.sum(
+            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    merged = grouped.groupBy("id", "g").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    intervals = merged.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv"),
+        F.count(F.lit(1)).cast("int").alias("n_spans_removed"),
+    )
+    normed = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("_n")
+    )
+    joined = normed.join(intervals, "id", "left")
+    # fold over the sorted disjoint intervals: acc = (next kept position,
+    # accumulated clean text); finish appends the tail segment
+    clean = F.when(F.col("_iv").isNull(), F.col("_n")).otherwise(
+        F.aggregate(
+            F.col("_iv"),
+            F.struct(
+                F.lit(1).alias("p"), F.lit("").cast("string").alias("acc")
+            ),
+            lambda acc, x: F.struct(
+                x["e"].alias("p"),
+                F.concat(
+                    acc["acc"],
+                    F.substring(F.col("_n"), acc["p"], x["s"] - acc["p"]),
+                ).alias("acc"),
+            ),
+            lambda acc: F.concat(
+                acc["acc"],
+                F.substring(
+                    F.col("_n"), acc["p"], F.length("_n") - acc["p"] + 1
+                ),
+            ),
+        )
+    )
+    return joined.select(
+        "id",
+        clean.alias("clean_text"),
+        (F.length("_n") - F.length(clean)).cast("int").alias("chars_removed"),
+        F.coalesce(F.col("n_spans_removed"), F.lit(0)).alias("n_spans_removed"),
+    )
+
+
+def minhash_store_update(
+    store: DataFrame,
+    batch_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 16,
+    compact: bool = True,
+) -> DataFrame:
+    """Signature-store MAINTENANCE — the upsert/compaction path that closes
+    the incremental near-dup loop: append the day's batch signatures to
+    the historical ``store`` (built by :func:`minhash_signature_store`)
+    so consecutive daily gates (:func:`incremental_minhash_matches`) run
+    against a store that actually grows.  Returns the updated store
+    relation ``(id, sz, m_0..m_{num_hashes-1})``.
+
+    Semantics, each chosen to be MATCH-PRESERVING for the downstream gate:
+
+    - first-writer-wins per id: a batch id already present keeps the
+      store's existing row (left_anti on id) — re-ingested ids never
+      flap the store;
+    - ``compact=True`` keeps only the MINIMUM id per full signature
+      vector.  Rows with identical signatures produce identical
+      candidate bands and identical agreement estimates, and the gate's
+      best-match pick breaks estimate ties toward the LOWEST historical
+      id — so dropping all but the min-id row provably cannot change any
+      future probe's output, while bounding store growth against
+      signature-exact duplicate floods (the near-dup analogue of the
+      exact fingerprint store's min-id survivorship).
+
+    Scale: one batch scan + one map-side-combined signature aggregation
+    (the store build's own shape), one id anti-join, and — only when
+    compacting — one groupBy keyed on the signature vector (~num_hashes
+    longs; with the store bucketed on the signature columns this
+    compaction and the daily band probe both run shuffle-free on the
+    store side).  Tested for parquet-served parity: update written to
+    parquet and probed by the NEXT batch equals the from-scratch store's
+    matches (tests/test_ext_operators.py)."""
+    batch_sig = minhash_signature_store(
+        batch_df, id_col, text_col, n=n, num_hashes=num_hashes
+    )
+    new_rows = batch_sig.join(store.select("id"), "id", "left_anti")
+    unioned = store.unionByName(new_rows)
+    if not compact:
+        return unioned
+    sig_cols = [f"m_{i}" for i in range(num_hashes)]
+    wsig = Window.partitionBy(*sig_cols).orderBy(F.col("id").asc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(wsig))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

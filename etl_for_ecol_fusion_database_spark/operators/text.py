@@ -741,3 +741,67 @@ def hashing_trick(
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(F.col("id").alias(id_col), "feature", "tf")
     )
+
+
+#: pinned BPE merges table for the ENCODE path (x3_bpe_encode) — the
+#: artifact a tokenizer TRAINING loop (x3_bpe_pair_counts is its inner
+#: argmax) would emit, frozen here so encode is deterministic and
+#: DuckDB-replayable.  Priority order is position in the list.  Entries
+#: chain (th+e -> the, an+d -> and), exercising the merged-symbol-
+#:  as-operand case.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("an", "d"),
+    ("o", "r"), ("e", "s"), ("t", "i"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "e"), ("o", "f"), ("i", "s"), ("in", "g"),
+)
+
+def bpe_encode_expr(word_col: Column | str, merges=BPE_MERGES) -> Column:
+    """Array-of-tokens column: ``word_col`` greedily encoded with the
+    pinned ``merges`` table — the per-document APPLY half of BPE (the
+    training half's argmax relation is x3_bpe_pair_counts).
+
+    Plan shape: every symbol is wrapped in its OWN leading and trailing
+    space (``" a  b  c "`` — adjacent symbols show a double space), and
+    each merge in priority order becomes ONE chained
+    ``replace(" a  b " -> " ab ")`` call.  Because no two symbols share a
+    delimiter, a match never consumes the boundary the NEXT eligible pair
+    needs, so one leftmost non-overlapping replace pass is EXACTLY the
+    reference greedy merge pass (a shared single-space delimiter is not:
+    on a run like ``aaaaaaaa`` it pairs (1,2),(4,5),(7,8) and strands
+    symbols that fixpoint iteration can never re-pair — caught by the
+    reference-implementation test).  Sentinel spaces also make token
+    boundaries unforgeable without regex lookarounds, which DuckDB's RE2
+    lacks, so the oracle replays the identical chain.  Everything is
+    whole-stage-codegen string built-ins — the merges table is bounded
+    and lives IN the plan (the broadcast-table analogue for literal-sized
+    state); no shuffle, no UDF."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    # " a  b  c " — every symbol wrapped by its own spaces on both sides
+    spaced = F.regexp_replace(c, r"(.)", r" $1 ")
+    for a, b in merges:
+        spaced = F.replace(spaced, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.split(F.trim(spaced), " +")
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges=BPE_MERGES,
+) -> DataFrame:
+    """Per-word BPE encoding of a corpus: ``(id, word_idx, token_idx,
+    token)`` rows — normalize, whitespace-split, encode each word with
+    :func:`bpe_encode_expr`, posexplode twice.  Both explodes are narrow;
+    nothing shuffles.  Concatenating a word's tokens in order recovers
+    the word exactly (merges only concatenate adjacent symbols) — the
+    round-trip property the tests pin."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(normalize_text(text_col))).alias("word_idx", "w"),
+    ).filter(F.length("w") >= 1)
+    return words.select(
+        "id",
+        "word_idx",
+        F.posexplode(bpe_encode_expr("w", merges)).alias("token_idx", "token"),
+    )

@@ -32,3 +32,4 @@ from . import q11_r2_late  # noqa: E402,F401
 from . import q12_r3_showcase  # noqa: E402,F401
 from . import q13_r4_quality  # noqa: E402,F401
 from . import q14_r4b_scale  # noqa: E402,F401
+from . import q15_r13  # noqa: E402,F401

@@ -68,6 +68,17 @@ def _with_synthetic_near_dups(docs):
     return docs.select("doc_id", "text").unionByName(mutated)
 
 
+def _with_synthetic_exact_dups(docs):
+    """Append VERBATIM copies of the first N_SYNTHETIC_NEAR_DUPS docs
+    (same text, id+2_000_000) — the fixture corpus contains no exact text
+    duplicates at any scale factor, so an exact-dedup pipeline stage is
+    vacuous without injection (round-13 curation v4)."""
+    copies = docs.filter(F.col("doc_id") < N_SYNTHETIC_NEAR_DUPS).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
 _STOP_LIST = "['" + "','".join(text.STOPWORDS) + "']"
 
 

@@ -305,7 +305,11 @@ def x1_embedding_near_dup(spark, sf_dir):
 
 
 def _portable_sig_ctes(
-    src_cte: str, p: str, num_hashes: int = 16, n_bands: int = 4
+    src_cte: str,
+    p: str,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    include_sz: bool = False,
 ) -> str:
     """toks → shingles → hash → signature → band CTE chain for ONE side of
     the incremental near-dup probe, built from the same portable-family
@@ -348,7 +352,7 @@ def _portable_sig_ctes(
     FROM {p}_sh
 ),
 {p}_sig AS (
-    SELECT id, {mins}
+    SELECT id, {"COUNT(*) AS sz, " if include_sz else ""}{mins}
     FROM {p}_h GROUP BY id
 ),
 {p}_banded AS (
