@@ -167,6 +167,12 @@ HEADLINE = [
     # duplicated-substring spans (Lee et al. substring-level dedup)
     "x1_incremental_minhash",
     "x1_duplicated_spans",
+    # round 13: span removal + curation v4 (the apply half of substring
+    # dedup), signature-store upsert/compaction, greedy BPE encode
+    "x1_span_scrub",
+    "x9_curation_v4",
+    "x1_minhash_store_update",
+    "x3_bpe_encode",
 ]
 
 #: FIXED inline panel for the stdout JSON line (VERDICT r08 item #5).
@@ -251,6 +257,10 @@ HEAVY_HEAD = frozenset(
         "x8_kmeans_clusters",
         "x2_knn_join",
         "x2_random_projection",
+        # round 13 (VERDICT r12 item #3): the spans finder is the slowest
+        # sf0.1 query (4.1 s) and its scrub superset inherits the plan
+        "x1_duplicated_spans",
+        "x1_span_scrub",
     }
 )
 N_RUNS_HEAVY = 5

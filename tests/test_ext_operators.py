@@ -334,11 +334,6 @@ def test_scrub_duplicated_spans_reconstruction_invariants(spark):
         (5, ""),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    spans = {
-        r.id: r
-        for r in dedup.duplicated_spans(docs, min_span=30).collect()
-        for r in [r]
-    }
     got = {r.id: r for r in dedup.scrub_duplicated_spans(docs, min_span=30).collect()}
     normed = {
         r.id: r.n
