@@ -509,3 +509,61 @@ def test_curation_v4_collapses_injected_exact_dups(spark):
     assert all(
         r.n_copies == 1 for r in rows if r.doc_id >= N_SYNTHETIC_NEAR_DUPS
     )
+
+
+def test_bpe_encode_hypothesis_vs_reference(spark):
+    """Property test: on randomly generated words over the merge alphabet
+    (the adversarial regime — dense merge applicability), the plan's
+    chained-replace encoding equals the reference per-symbol greedy BPE
+    and round-trips by concatenation."""
+    import random
+
+    from etl_for_ecol_fusion_database_spark.operators import text as text_ops
+
+    def ref_bpe(word, merges):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    merges = list(text_ops.BPE_MERGES)
+    alphabet = sorted({c for m in merges for c in m[0] + m[1]})
+    rng = random.Random(13)
+    words = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    })
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: r.toks
+        for r in df.select(
+            "w", text_ops.bpe_encode_expr("w", merges).alias("toks")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == ref_bpe(w, merges), w
+        assert "".join(got[w]) == w
+
+
+def test_scrub_duplicated_spans_kernel_parity(spark):
+    """scrub(kernel='fold') == scrub(kernel='arrow') — the surgery sits on
+    top of the span finder's kernel dispatch, so the parity the finder
+    pins must survive the interval merge and substring fold."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+
+    def nsort(rows):
+        return sorted(rows, key=lambda t: [(v is None, v) for v in t])
+
+    fold = nsort(map(tuple, dedup.scrub_duplicated_spans(
+        docs, min_span=150, kernel="fold").collect()))
+    arrow = nsort(map(tuple, dedup.scrub_duplicated_spans(
+        docs, min_span=150, kernel="arrow").collect()))
+    assert fold == arrow and len(fold) == 500
