@@ -173,6 +173,7 @@ HEADLINE = [
     "x9_curation_v4",
     "x1_minhash_store_update",
     "x3_bpe_encode",
+    "x6_bpe_budget_pack",
 ]
 
 #: FIXED inline panel for the stdout JSON line (VERDICT r08 item #5).

@@ -283,14 +283,23 @@ def x1_minhash_store_update(spark, sf_dir):
     return dedup.minhash_store_update(store, batch)
 
 
+def _bpe_replace_chain() -> str:
+    """The DuckDB twin of operators/text.bpe_encode_expr's plan: the
+    self-delimited symbol expansion of column ``w`` run through one
+    ``replace`` per pinned merge — shared by the encode and the
+    budget-pack oracles so the chain cannot drift between them."""
+    expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
+    for a, b in text.BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return expr
+
+
 def _bpe_encode_oracle() -> str:
     """DuckDB replay of the greedy BPE apply — the chained ``replace``
     calls generated from the SAME pinned merges table as
     operators/text.bpe_encode_expr (same self-delimited symbol encoding,
     one pass per merge), so the two cannot drift."""
-    expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
-    for a, b in text.BPE_MERGES:
-        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    expr = _bpe_replace_chain()
     return rf"""
 WITH words AS (
     SELECT unnest(regexp_split_to_array(
@@ -340,3 +349,58 @@ def x3_bpe_encode(spark, sf_dir):
             .cast("int"),
         )
     )
+
+
+def _bpe_budget_pack_oracle() -> str:
+    """DuckDB replay of the composed pipeline: per-doc BPE token counts
+    (same replace chain as the encode oracle) fed into the declarative
+    statement of the distributed exclusive-prefix-sum shard packing."""
+    return rf"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS w
+    FROM documents
+),
+enc AS (
+    SELECT doc_id, {_bpe_replace_chain()} AS sp
+    FROM words WHERE length(w) >= 1
+),
+sized AS (
+    SELECT doc_id,
+           CAST(SUM(len(regexp_split_to_array(trim(sp), ' +'))) AS INT)
+               AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+)
+SELECT doc_id, n_bpe_tokens,
+       CAST(FLOOR((SUM(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_bpe_tokens) / 500.0) AS INT) AS shard_id
+FROM sized ORDER BY doc_id
+"""
+
+
+@query("x6_bpe_budget_pack", oracle=_bpe_budget_pack_oracle())
+def x6_bpe_budget_pack(spark, sf_dir):
+    """X6 BPE-aware training-shard packing — the composed step a training
+    pipeline actually runs between tokenization and the dataloader: each
+    doc's REAL token cost under the pinned BPE merges (x3_bpe_encode's
+    per-word chain, one corpus scan + one per-doc count aggregation)
+    drives the distributed two-phase exclusive-prefix-sum packing
+    (operators/sampling.pack_shards — per-bucket windows + a tiny
+    bucket-offset window, never a single-partition global cumsum).
+    Whitespace token counts (x6_pack_shards) over-budget shards exactly
+    where BPE inflates rare words; this chain budgets on what the model
+    will see.  The oracle replays BPE counts and the prefix-sum
+    arithmetic as one declarative cumsum."""
+    from ..operators import sampling
+
+    toks = text.bpe_encode_tokens(_t(spark, sf_dir, "documents"))
+    sized = (
+        toks.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bpe_tokens"))
+        .select(F.col("id").alias("doc_id"), "n_bpe_tokens")
+    )
+    return sampling.pack_shards(
+        sized, id_col="doc_id", size_col="n_bpe_tokens",
+        budget=500, ids_per_bucket=100,
+    ).orderBy("doc_id")

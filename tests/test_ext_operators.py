@@ -567,3 +567,22 @@ def test_scrub_duplicated_spans_kernel_parity(spark):
     arrow = nsort(map(tuple, dedup.scrub_duplicated_spans(
         docs, min_span=150, kernel="arrow").collect()))
     assert fold == arrow and len(fold) == 500
+
+
+def test_bpe_budget_pack_shard_invariants(spark):
+    """Shard assembly invariants for the BPE-aware packing: shard ids are
+    dense and monotone in doc order, every doc's exclusive prefix lands
+    in its shard's budget window, and no shard except possibly the last
+    closes under budget (the exclusive-prefix-DIV rule)."""
+    rows = registry.QUERIES["x6_bpe_budget_pack"](spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    budget = 500
+    cum = 0
+    prev_shard = 0
+    for r in rows:  # already ordered by doc_id
+        assert r.shard_id == cum // budget, r.doc_id
+        assert r.shard_id >= prev_shard
+        prev_shard = r.shard_id
+        assert r.n_bpe_tokens > 0
+        cum += r.n_bpe_tokens
+    assert prev_shard > 5, "budget never crossed — vacuous packing"
