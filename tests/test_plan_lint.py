@@ -56,6 +56,7 @@ BNLJ_OK = {
 # bucket-count-sized).
 GLOBAL_WINDOW_OK = {
     "x6_pack_shards": "window runs over per-bucket offsets (n_buckets rows)",
+    "x6_bpe_budget_pack": "composes pack_shards (same bucket-offset window)",
     "x9_curation_pipeline": "composes pack_shards (same bucket-offset window)",
     "q11_important_value": "window over the post-aggregation partkey sums for ranking (TPC-H scalar-threshold shape)",
     "q15_top_supplier": "window over per-supplier revenue aggregate (|suppliers| rows, post-agg)",
