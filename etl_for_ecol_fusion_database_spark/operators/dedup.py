@@ -1421,7 +1421,12 @@ def _cdc_chunk_rows_arrow(normed: DataFrame, window: int, modulus: int) -> DataF
                 n = len(s)
                 cuts = [1]
                 if n >= window + 1:
-                    codes = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+                    # utf-32-le round-trip: each char is exactly its code
+                    # point (what ord returns), decoded in one C pass
+                    # instead of one interpreter call per character
+                    codes = np.frombuffer(
+                        s.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
                     sw = np.lib.stride_tricks.sliding_window_view(codes, window)
                     # candidate 0-based window index i in [1, n-window];
                     # cut position p = i + 1 (1-based, fold-identical)
@@ -1487,7 +1492,13 @@ def minhash_estimate_report(
     Shape: same banded self-join as ``minhash_lsh_pairs_portable``;
     signatures re-attach to the (small) candidate set by id — two slim
     joins of num_hashes longs; exact Jaccard via the shared-shingle count
-    join on candidates only.
+    join on candidates only.  (r13 optimization note: extraction-
+    barriering the signature and candidate relations here was tried and
+    REGRESSED 2.1 -> 3.8 s at sf0.1 — the multi-consumed subtrees are
+    already deduplicated at runtime by exchange reuse, while
+    localCheckpoint adds a hard materialization and erases the size
+    statistics that let the slim sides broadcast.  Left unbarriered on
+    that measurement.)
     """
     r = _bands_divide(num_hashes, n_bands)
     sh = shingle_rows(df, id_col, text_col, n)
@@ -1728,11 +1739,17 @@ def incremental_minhash_matches(
 
 def _duplicated_pos_rows_arrow(normed: DataFrame, window: int) -> DataFrame:
     """(id, pos, h) rolling-gram hash rows via one ``mapInPandas`` pass:
-    per doc, code points through ``ord`` and ALL position hashes in one
-    sliding-window int64 matmul with the 31^j weight vector — the
+    ALL code points of a batch in one vectorized decode
+    (``utf-32-le`` round-trip — each char is exactly its code point, the
+    same value ``ord`` returns), ALL position hashes in one batch-wide
+    int64 multiply-add with the 31^j weight vector, and the per-doc rows
+    carved out with repeat/arange index arithmetic — the
     ``_cdc_chunk_rows_arrow`` math emitting every position instead of
-    boundary cuts.  Bit-identical to the fold plan's hashes (pure int64
-    arithmetic); null-id docs are KEPT (fold parity: duplicated_spans
+    boundary cuts, with the r13 per-char/per-doc Python loops removed
+    (guide §4.2: one native pass per batch; the original
+    ``np.fromiter(map(ord, s))`` paid one interpreter call per CHARACTER).
+    Bit-identical to the fold plan's hashes (pure int64 arithmetic, same
+    wraparound); null-id docs are KEPT (fold parity: duplicated_spans
     never equi-joins on id)."""
     import numpy as np
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -1748,34 +1765,56 @@ def _duplicated_pos_rows_arrow(normed: DataFrame, window: int) -> DataFrame:
             StructField("h", LongType()),
         ]
     )
-    weights = np.array([31 ** j for j in range(window)], dtype=np.int64)
+    weights = [np.int64(31**j) for j in range(window)]
 
     def hasher(batches):
         import pandas as pd
 
+        empty = {
+            "id": pd.Series([], dtype=id_dtype or "object"),
+            "pos": np.empty(0, dtype=np.int32),
+            "h": np.empty(0, dtype=np.int64),
+        }
         for pdf in batches:
-            ids, poss, hs = [], [], []
             in_ids = vectorized.checked_id_series(pdf["id"], id_dtype)
-            for doc_id, s in zip(in_ids, pdf["_n"]):
-                if s is None:
-                    continue
-                n = len(s)
-                if n < window:
-                    continue
-                codes = np.fromiter(map(ord, s), dtype=np.int64, count=n)
-                sw = np.lib.stride_tricks.sliding_window_view(codes, window)
-                h = (sw @ weights) % 2147483647
-                k = h.shape[0]
-                ids.extend([doc_id] * k)
-                poss.append(np.arange(1, k + 1, dtype=np.int32))
-                hs.append(h)
+            texts = pdf["_n"]
+            # docs with a full gram only (len >= window; None dropped)
+            sel = np.fromiter(
+                (s is not None and len(s) >= window for s in texts),
+                dtype=bool,
+                count=len(texts),
+            )
+            if not sel.any():
+                yield pd.DataFrame(empty)
+                continue
+            sel_pos = np.nonzero(sel)[0]
+            docs = texts.iloc[sel_pos]
+            lens = np.fromiter(map(len, docs), dtype=np.int64, count=len(docs))
+            # one decode for the whole batch: utf-32-le bytes of the
+            # concatenation are the code points, 4 bytes per char
+            codes = np.frombuffer(
+                "".join(docs).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            # all window hashes over the concatenation (8 multiply-adds,
+            # int64 wraparound identical to the per-doc matmul), then
+            # windows crossing doc boundaries dropped by index arithmetic
+            n_win = codes.shape[0] - window + 1
+            acc = codes[:n_win] * weights[0]
+            for j in range(1, window):
+                acc += codes[j : j + n_win] * weights[j]
+            big_h = acc % 2147483647
+            ks = lens - window + 1  # windows per doc
+            total = int(ks.sum())
+            doc_idx = np.repeat(np.arange(len(docs)), ks)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(ks) - ks, ks
+            )
+            offsets = np.cumsum(lens) - lens  # doc starts in the concat
             yield pd.DataFrame(
                 {
-                    "id": pd.Series(ids, dtype=id_dtype or pdf["id"].dtype),
-                    "pos": np.concatenate(poss)
-                    if poss
-                    else np.empty(0, dtype=np.int32),
-                    "h": np.concatenate(hs) if hs else np.empty(0, dtype=np.int64),
+                    "id": in_ids.iloc[sel_pos[doc_idx]].reset_index(drop=True),
+                    "pos": (within + 1).astype(np.int32),
+                    "h": big_h[offsets[doc_idx] + within],
                 }
             )
 
@@ -2009,11 +2048,23 @@ def scrub_duplicated_spans(
             ),
         )
     )
-    return joined.select(
+    # clean_text is bound to a named column FIRST and chars_removed derives
+    # from the bound column: inlining the fold into both output expressions
+    # produced two independent interpreted fold evaluations per row (the
+    # lambda instances get distinct expression ids, so not even codegen CSE
+    # can unify them); CollapseProject keeps the multi-referenced non-cheap
+    # alias, so the fold now runs exactly once per row (r13 optimization)
+    withclean = joined.select(
         "id",
+        "_n",
         clean.alias("clean_text"),
-        (F.length("_n") - F.length(clean)).cast("int").alias("chars_removed"),
         F.coalesce(F.col("n_spans_removed"), F.lit(0)).alias("n_spans_removed"),
+    )
+    return withclean.select(
+        "id",
+        "clean_text",
+        (F.length("_n") - F.length("clean_text")).cast("int").alias("chars_removed"),
+        "n_spans_removed",
     )
 
 
