@@ -562,6 +562,39 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     uses ``len(text minus whitespace) / n_words`` (identical to summing
     token lengths, but one regexp_replace instead of an aggregate fold).
     """
+    sig = _gopher_signals(text_col)
+    return df.select(
+        "doc_id",
+        sig["n_words"].cast("int").alias("n_words"),
+        F.round(sig["mean_wl"], 6).alias("mean_word_len"),
+        F.round(sig["alpha_ratio"], 6).alias("alpha_word_ratio"),
+        F.round(sig["symbol_ratio"], 6).alias("symbol_ratio"),
+        sig["stop_hits"].cast("int").alias("stop_hits"),
+        sig["r_words"].alias("rule_word_count"),
+        sig["r_mwl"].alias("rule_mean_word_len"),
+        sig["r_sym"].alias("rule_symbol_ratio"),
+        sig["r_alpha"].alias("rule_alpha_words"),
+        sig["r_stop"].alias("rule_stopwords"),
+        sig["keep"].alias("keep"),
+    )
+
+
+def gopher_keep_expr(text_col: str = "text") -> Column:
+    """The conjunctive Gopher ``keep`` verdict of :func:`gopher_rules` as a
+    single row-local boolean Column — for pipelines that only gate on the
+    verdict and do not need the per-rule signal columns (x9_curation_v4
+    applies it as an inline ``filter`` instead of a semi-join against the
+    full ``gopher_rules`` relation, which would duplicate the upstream
+    plan subtree).  Built from the SAME signal expressions as
+    :func:`gopher_rules` (shared ``_gopher_signals``), so the verdict
+    cannot drift — same thresholds, same expressions, row for row."""
+    return _gopher_signals(text_col)["keep"]
+
+
+def _gopher_signals(text_col: str) -> dict[str, Column]:
+    """The Gopher rule signal/verdict expressions, shared by
+    :func:`gopher_rules` (full report) and :func:`gopher_keep_expr`
+    (verdict-only inline gate)."""
     t = tokens(text_col)
     n_words = F.size(t)
     nd = n_words.cast("double")
@@ -577,20 +610,19 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     r_sym = symbol_ratio <= 0.1
     r_alpha = alpha_ratio >= 0.8
     r_stop = stop_hits >= 2
-    return df.select(
-        "doc_id",
-        n_words.cast("int").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        stop_hits.cast("int").alias("stop_hits"),
-        r_words.alias("rule_word_count"),
-        r_mwl.alias("rule_mean_word_len"),
-        r_sym.alias("rule_symbol_ratio"),
-        r_alpha.alias("rule_alpha_words"),
-        r_stop.alias("rule_stopwords"),
-        (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_wl": mean_wl,
+        "alpha_ratio": alpha_ratio,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+        "r_words": r_words,
+        "r_mwl": r_mwl,
+        "r_sym": r_sym,
+        "r_alpha": r_alpha,
+        "r_stop": r_stop,
+        "keep": r_words & r_mwl & r_sym & r_alpha & r_stop,
+    }
 
 
 def _bigram_rows(df: DataFrame, id_col: str, text_col: str, extra: list[str]) -> DataFrame:

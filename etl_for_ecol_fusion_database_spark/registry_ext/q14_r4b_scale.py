@@ -679,17 +679,20 @@ def x9_curation_v3(spark, sf_dir):
     from ..operators import sampling as sampling_ops
 
     docs = _t(spark, sf_dir, "documents")
-    good = text.gopher_rules(docs).filter("keep").select("doc_id")
     train = docs.filter(F.col("source") != "src0")
     bench = docs.filter(F.col("source") == "src0")
+    # r13 optimization pass: the Gopher verdict is row-local over the raw
+    # text column, so it gates inline — the original built a full
+    # gopher_rules relation over a SECOND corpus scan and semi-joined it
+    # back (same verdict, one scan and one join fewer).
     clean = (
         dedup.bloom_decontaminate_report(train, bench, "doc_id", "text", n=5)
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
     kept = (
-        train.select("doc_id", "source")
-        .join(good, "doc_id", "left_semi")
+        train.filter(text.gopher_keep_expr("text"))
+        .select("doc_id", "source")
         .join(clean, "doc_id", "left_semi")
     )
     capped = sampling_ops.per_key_sample(kept, ["source"], "doc_id", n=30).select(
@@ -1712,44 +1715,59 @@ def x8_kmeans_elbow(spark, sf_dir):
     """X8 k-means elbow report: total inertia (sum of squared distance to
     the nearest seed centroid) for k in {2, 4, 8, 16} — the model-
     selection curve that picks k before committing to the full Lloyd's
-    loop.  Each k is one broadcast-literal assignment pass (row-local
-    argmin, zero shuffle) + a 1-row SUM; four passes union plan-level.
-    MIN-of-distances equals the assigned cluster's distance, so the
-    DuckDB replay is bit-identical (sequential double folds both
-    sides)."""
-    from ..operators import clustering
-
+    loop.  ONE broadcast-literal assignment pass (row-local argmin, zero
+    shuffle) + a 1-row aggregate: the k=16 seed set is a superset of the
+    smaller ones, so the 16 per-seed distances are computed once as named
+    columns and each k's nearest-distance is a ``least`` over its prefix
+    (the r13 shape — the original one-pass-per-k union scanned the corpus
+    4x and evaluated 2+4+8+16=30 interpreted folds per row vs 16 here;
+    the per-row distance values, per-partition partial sums, and merge
+    order are unchanged, so the sums are bit-identical).  MIN-of-distances
+    equals the assigned cluster's distance, so the DuckDB replay matches
+    (sequential double folds both sides)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds16 = [v for _, v in _embedding_head(spark, sf_dir, 16)]
-    parts = []
-    for k in (2, 4, 8, 16):
-        cents = seeds16[:k]
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    ks = (2, 4, 8, 16)
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_d{i}")
+        for i, c in enumerate(seeds16)
+    ]
+    # distances bound to named columns FIRST: each fold evaluates once per
+    # row (CollapseProject keeps multi-referenced non-cheap aliases), then
+    # the per-k bests are cheap ``least`` calls over the shared columns
+    withd = emb.select(*dists)
+    agg = withd.agg(
+        *[
+            F.round(F.sum(F.least(*[F.col(f"_d{i}") for i in range(k)])), 6).alias(
+                f"_inertia_{k}"
             )
-            for c in cents
-        ]
-        best = F.least(*dists) if len(dists) > 1 else dists[0]
-        parts.append(
-            emb.select(best.alias("best")).agg(
-                F.lit(k).alias("k"),
-                F.round(F.sum("best"), 6).alias("inertia"),
-                F.count(F.lit(1)).alias("n_vecs"),
-            )
+            for k in ks
+        ],
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.col(f"_inertia_{k}").alias("inertia"),
+                    F.col("_n").alias("n_vecs"),
+                )
+                for k in ks
+            ]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ).alias("_r")
+    return agg.select(rows).select("_r.k", "_r.inertia", "_r.n_vecs")
 
 
 @query(
