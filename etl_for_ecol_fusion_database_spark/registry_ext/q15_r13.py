@@ -201,9 +201,44 @@ def x9_curation_v4(spark, sf_dir):
     the deduped corpus, then the Gopher quality gate judging the SCRUBBED
     text (a doc that was mostly boilerplate fails the word-count floor
     only after scrubbing — the ordering is the point).  Survivors carry
-    their duplicate multiplicity and scrub accounting.  One composed lazy
-    plan: a fingerprint aggregation + id join for survivorship, scrub's
-    keyed windows/joins, and a narrow quality projection."""
+    their duplicate multiplicity and scrub accounting.
+
+    Plan shape (r13 optimization pass — the original composition read
+    5.6 s at sf0.1 with 28 parquet scans / 4 Arrow kernel runs / 48
+    exchanges from plan-subtree duplication; this shape reads ~3.8 s
+    with 6 scans / 2 kernel runs — the residual triple-``surv`` is the
+    duplicated-spans recompute-over-barrier choice, argued there; same
+    output, row for row):
+
+    - the survivorship DECISION is the guide-§8 small-rows pattern: the
+      fingerprint aggregation's ``(keep_id, n_copies)`` relation (ids +
+      counts, no text — the bounded shape the barrier contract pins)
+      sits behind an extraction barrier and re-attaches survivors to the
+      corpus by one id semi-join, instead of re-running the md5
+      aggregation + fingerprint join in every consumer of ``surv``
+      (keep-barrier vs lazy-keep A/B'd at sf0.1: 3.7/3.9 s vs 4.1/4.3 s
+      medians across alternating fresh sessions);
+    - the Gopher gate is an inline row-local ``filter``
+      (``gopher_keep_expr`` — same verdict expressions as
+      ``gopher_rules``) on the scrub output, not a semi-join of the scrub
+      relation against a second copy of itself — the semi-join form
+      evaluated the ENTIRE span-scrub subtree (two more Arrow kernel
+      passes) a second time just to re-derive row-local booleans;
+    - the scrub relation is NOT barriered, on measurement: predicate
+      pushdown does inline the interval-surgery fold into the pushed
+      Gopher predicate (12 fold occurrences in the optimized plan), but
+      the fold re-evaluations are row-local CPU over already-shrunk rows
+      and A/B'd cheaper than a corpus-sized ``localCheckpoint`` (scrub
+      barrier 5.5-6.6 s vs 3.7-4.3 s without, and the checkpointed text
+      blocks accumulate across a long benching session — the barrier
+      contract exists for SMALL decision relations, not the corpus).  A
+      production deployment materializes the scrubbed corpus as the
+      curation parquet artifact (Lee et al. 2022 §4) and gates on the
+      read-back, which evaluates the fold exactly once;
+    - ``n_copies`` re-attaches from the barriered decision relation, not
+      from the corpus-sized ``surv`` subtree."""
+    from ..operators.barrier import extraction_barrier
+
     base = _with_synthetic_exact_dups(_t(spark, sf_dir, "documents"))
     fp = base.withColumn(
         "f", F.md5(text.normalize_text("text"))
@@ -211,25 +246,14 @@ def x9_curation_v4(spark, sf_dir):
     grp = fp.groupBy("f").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
-    surv = fp.join(
-        grp,
-        (fp["f"] == grp["f"]) & (fp["doc_id"] == grp["keep_id"]),
-    ).select("doc_id", "text", "n_copies")
-    scrub = dedup.scrub_duplicated_spans(
-        surv.select("doc_id", "text"), min_span=SCRUB_MIN_SPAN
-    )
-    quality = text.gopher_rules(
-        scrub.select(
-            F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
-        )
-    )
-    kept = scrub.join(
-        quality.filter("keep").select(F.col("doc_id").alias("id")),
-        "id",
-        "left_semi",
-    )
+    keep = extraction_barrier(grp.select("keep_id", "n_copies"))
+    surv = base.join(
+        keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    scrub = dedup.scrub_duplicated_spans(surv, min_span=SCRUB_MIN_SPAN)
+    kept = scrub.filter(text.gopher_keep_expr("clean_text"))
     return kept.join(
-        surv.select(F.col("doc_id").alias("id"), "n_copies"), "id"
+        keep.select(F.col("keep_id").alias("id"), "n_copies"), "id"
     ).select(
         F.col("id").alias("doc_id"),
         "n_copies",
