@@ -70,6 +70,7 @@ GLOBAL_WINDOW_OK = {
     "x6_shard_manifest": "composes pack_shards (same bucket-offset window over per-bucket totals)",
     "x13_skew_report": "rank window over the post-limit 5-row hot-key relation",
     "x11_running_distinct": "running-sum window over the |days|-row per-day aggregate, never the event data",
+    "x5_funnel_steps": "windows hash-partition on user_id (per-step minima); the SinglePartition exchange is the 4-value final counts row, not a window input",
 }
 
 

@@ -259,14 +259,17 @@ def test_doc_chunks_zero_shuffle(spark, sf_dir):
 
 
 def test_funnel_pushes_step_filters(spark, sf_dir):
-    """Every per-step scan must push its event_type equality into the
-    parquet reader, and all data shuffles hash on user_id (the single
-    funnel key) — no global repartition sneaks in."""
+    """The single-scan funnel (r13): exactly ONE event scan whose pushed
+    filter keeps only the step types, every data shuffle hashes on
+    user_id (the single funnel key), and the step recurrence runs as
+    user-partitioned window minima — no per-step re-scan, no global
+    repartition."""
     plan = _final_plan(registry.QUERIES["x5_funnel_steps"](spark, sf_dir))
-    for step in ("signup", "view", "click", "purchase"):
-        assert f"EqualTo(event_type,{step})" in plan, step
+    assert "In(event_type, [click,purchase,signup,view])" in plan, plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
     parts = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert parts and all(p == "user_id" for p in parts), parts
+    assert len(re.findall(r"\bWindow\b", plan)) >= 4, plan
 
 
 def test_point_in_time_single_key_shuffle(spark, sf_dir):
