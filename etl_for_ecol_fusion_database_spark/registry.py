@@ -1033,7 +1033,7 @@ def x3_profile_sketch(spark, sf_dir):
     statistics and the sketch accuracy.  Exact `percentile` matches DuckDB's
     percentile_cont (same (n-1)p linear interpolation)."""
     l = _t(spark, sf_dir, "lineitem")
-    # THREE separate 1-row aggregates recombined with broadcast cross
+    # FOUR separate 1-row aggregates recombined with broadcast cross
     # joins — each one-pass and shuffle-light on its own:
     # - exact distincts and percentiles apart (r04): dragging percentile
     #   buffers through the count-distinct Expand tripled their work
@@ -1046,9 +1046,19 @@ def x3_profile_sketch(spark, sf_dir):
     #   corpus scale).  Split out, each sketch is one map-side partial
     #   per partition — constant memory, the property the sketch exists
     #   for (measured 5.4s -> 3.3s fresh-plan median at sf0.1).
-    cards = l.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("orders_exact"),
-        F.countDistinct("l_partkey").cast("double").alias("parts_exact"),
+    # - the two exact distincts apart from EACH OTHER (r13): a lone
+    #   distinct aggregate plans as a plain two-phase keyed aggregate,
+    #   but two in one agg trigger RewriteDistinctAggregates' Expand —
+    #   every lineitem row duplicated 2x with a gid through the first
+    #   aggregate.  Split, the Expand disappears from the plan entirely
+    #   for one extra single-column pruned scan (the cheaper trade at
+    #   scale: Expand doubles ROWS, the scan reads one column;
+    #   fresh-session alternating A/B at sf0.1: 3.4 vs 3.9 s medians).
+    o_cards = l.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("orders_exact")
+    )
+    p_cards = l.agg(
+        F.countDistinct("l_partkey").cast("double").alias("parts_exact")
     )
     sketches = l.agg(
         F.approx_count_distinct("l_orderkey", 0.02).cast("double").alias("orders_approx"),
@@ -1066,7 +1076,11 @@ def x3_profile_sketch(spark, sf_dir):
         .cast("double")
         .alias("price_approx"),
     )
-    agg = cards.crossJoin(F.broadcast(sketches)).crossJoin(F.broadcast(pcts))
+    agg = (
+        o_cards.crossJoin(F.broadcast(p_cards))
+        .crossJoin(F.broadcast(sketches))
+        .crossJoin(F.broadcast(pcts))
+    )
     unpivoted = agg.select(
         F.expr(
             "stack(4, "

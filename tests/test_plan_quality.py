@@ -327,20 +327,20 @@ def test_pq_encode_zero_shuffle(spark, sf_dir):
 
 
 def test_profile_sketch_percentiles_avoid_expand(spark, sf_dir):
-    """The count-distinct Expand (3x row multiplication) must NOT feed the
-    exact-percentile buffers: the two aggregates stay separate (28s -> 6.5s
-    at sf0.1) and recombine via a broadcast cross join."""
+    """No count-distinct Expand ANYWHERE in the plan (r13: each exact
+    distinct is its own single-distinct aggregate, so
+    RewriteDistinctAggregates never fires — row multiplication gone
+    entirely), and the percentile/sketch buffers stay in separate 1-row
+    aggregates recombined via broadcast cross join (the r04/r11 splits:
+    28s -> 6.5s, then 5.4s -> 3.3s at sf0.1)."""
     plan = _final_plan(registry.QUERIES["x3_profile_sketch"](spark, sf_dir))
-    assert "Expand" in plan  # the distinct-count side still plans an expand
+    assert "Expand" not in plan, "a distinct-aggregate rewrite re-introduced Expand"
     assert "BroadcastNestedLoopJoin" in plan  # 1-row x 1-row recombine
-    # the percentile aggregates must sit in the broadcast (right) subtree,
-    # i.e. AFTER the BroadcastExchange in the printed tree — not under the
-    # Expand on the cardinality side
-    assert (
-        plan.index("percentile(")
-        > plan.index("BroadcastExchange")
-        > plan.index("Expand")
-    ), "percentile subtree not separated from the count-distinct Expand"
+    # the percentile aggregates sit in a broadcast subtree, separate from
+    # the cardinality aggregates
+    assert plan.index("percentile(") > plan.index("BroadcastExchange"), (
+        "percentile subtree not separated from the count-distinct side"
+    )
 
 
 def test_drift_psi_single_scan_tiny_shuffle(spark, sf_dir):
