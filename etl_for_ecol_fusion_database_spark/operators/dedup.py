@@ -124,25 +124,66 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity above ``threshold``.
 
-    O(n²) in the bounded id range (``max_id``) — the oracle-checkable
-    ground truth that the LSH path approximates.  jaccard = |A∩B| / |A∪B|
-    over *distinct* shingle sets, rounded to 6dp.
+    The oracle-checkable ground truth that the LSH path approximates
+    (``max_id`` bounds the id range).  jaccard = |A∩B| / |A∪B| over
+    *distinct* shingle sets, rounded to 6dp.
+
+    Round 13 (guide §3.2 — pre-filter the pair space): candidate pairs
+    come from an inverted-index equi-join on the shingle
+    (:func:`shingle_rows`, codegen row form — the same relation
+    ``x1_dup_explain`` builds), never the earlier quadratic
+    ``array_intersect``/``array_union`` comparison of every id pair
+    under a BroadcastNestedLoopJoin (interpreted, no codegen).  |A∩B|
+    is the per-pair match count over distinct shingles, |A∪B| = |A| +
+    |B| - |A∩B|; both are exact integers, so the rounded double is
+    bit-identical to the array form (same ints, same double division —
+    oracle hashes unchanged).  A pair sharing zero shingles has
+    jaccard 0 and cannot reach a positive threshold, so the equi-join
+    loses nothing; for ``threshold <= 0`` (disjoint pairs must appear
+    in the output too) the original quadratic form below is the only
+    correct shape and is kept as the fallback.  Worst case is still
+    O(n_docs²) pair rows (a shingle shared by every doc) — this stays
+    the bounded ground-truth operator; MinHash/LSH is the scale path.
     """
-    base = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-    if max_id is not None:
-        base = base.filter(F.col("id") < max_id)
-    a = base.alias("a")
-    b = base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard"),
+    if threshold <= 0:
+        base = df.select(
+            F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
         )
+        if max_id is not None:
+            base = base.filter(F.col("id") < max_id)
+        a = base.alias("a")
+        b = base.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+        jac = F.round(inter.cast("double") / union.cast("double"), 6)
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    src = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    sh = shingle_rows(src, id_col, text_col, n=n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("_sz"))
+    pairs = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.round(
+        F.col("_inter").cast("double")
+        / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("_sz").alias("_sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("_sz").alias("_sz_b")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -56,46 +56,67 @@ def connected_components(
     cluster_ids — duplicates leaking through dedup with no signal).
     Raise ``max_iter`` for high-diameter graphs; near-dup graphs are
     normally shallow (dense cliques around each duplicate group).
+
+    Round 13 (guide §2.4 — remove shuffles outright): the closed
+    neighborhood is encoded as SELF-LOOP rows in the cached edge
+    relation, so one round is ONE equi-join + ONE groupBy —
+    ``min(label)`` over each node's closed neighborhood — instead of
+    the earlier join → groupBy → second left-join back onto the label
+    relation (5 exchanges/round → 3).  The self row also carries the
+    node's round-start label out of the aggregation (``_old``), so the
+    convergence check is a row-local comparison on the checkpointed
+    round output — no extra join, and labels are monotone
+    non-increasing, so ``new < old`` on some row is exactly the old
+    ``neighbor_min < label`` condition.  Fixpoint, tie rules and the
+    output relation are unchanged (min reachable id per node; nodes
+    absent from ``nodes`` still never enter or relay labels — a pair
+    endpoint without a self row is dropped by the ``_old`` filter, and
+    its label never existed to be joined).
     """
-    sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    edges = (
+        sym.select("src", "dst", F.lit(False).alias("is_self"))
+        .unionByName(
+            nodes.select(
+                F.col(node_id).alias("src"),
+                F.col(node_id).alias("dst"),
+                F.lit(True).alias("is_self"),
+            )
+        )
         .cache()
     )
+    # seed labels stay LAZY: round 1's localCheckpoint materializes the
+    # whole chain anyway, so an eager seed checkpoint is one pure-overhead
+    # job per call (round 13)
     labels = nodes.select(
         F.col(node_id).alias("node"), F.col(node_id).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        # smallest label among each node's neighbors
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node2"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("nmin") < F.col("cluster_id")).alias("_changed"),
+        # min label over each node's CLOSED neighborhood (self row included)
+        grouped = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("is_self"), F.col("cluster_id"))).alias("_old"),
             )
+            .filter(F.col("_old").isNotNull())
         ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
+        changed = grouped.filter(F.col("cluster_id") < F.col("_old")).limit(1).count()
+        labels = grouped.drop("_old")
         if changed == 0:
             break
     else:
-        sym.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
             "rounds (labels still propagating — the graph has a component "
             "with diameter above max_iter); returning here would silently "
             "split one component into several clusters. Raise max_iter."
         )
-    sym.unpersist()
+    edges.unpersist()
     return labels.select(F.col("node"), F.col("cluster_id"))
 
 

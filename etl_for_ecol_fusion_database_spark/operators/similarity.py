@@ -654,30 +654,136 @@ def quantized_topk(
     *,
     k: int = 5,
     n_queries: int = 20,
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """Cosine top-k over int8-quantized vectors — same plan shape as
-    ``brute_force_topk`` (broadcast query side, JVM fold, per-query
+    """Cosine top-k over int8-quantized vectors — same contract as
+    ``brute_force_topk`` (bounded query side probes the corpus, per-query
     row_number) but every dot product runs on exact small-integer doubles.
 
     Quantized cosine is deterministic and engine-portable (integers sum
     exactly), so unlike raw-float ANN variants this one carries a full
-    DuckDB oracle."""
-    q = df.select(
-        F.col(id_col).alias("q_id"), quantize_vec(vec_col).alias("qv")
-    ).filter(F.col("q_id") < n_queries)
-    c = df.select(F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("cv"))
-    q = q.withColumn("qnorm", F.sqrt(norm_sq_expr("qv")))
-    c = c.withColumn("cnorm", F.sqrt(norm_sq_expr("cv")))
-    sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", sim.alias("q_cosine"))
-    )
+    DuckDB oracle.
+
+    ``kernel`` picks the scoring engine (round 13, same policy and
+    bit-exactness contract as ``brute_force_topk``):
+
+    - ``"arrow"`` (default): mapInPandas over corpus batches with the
+      quantized query matrix in the closure — the dense-numeric Arrow
+      case.  Quantization is three IEEE-double ops per element
+      (``127/max|x|`` scale, ``floor(x*s + 0.5)``) evaluated identically
+      by numpy and the JVM, and every quantized value is an exact small
+      integer, so dots/norms are exact regardless of accumulation order
+      (the kernel still folds scalar-sequentially across the dim index,
+      matching the fold path's contract); rounding stays Spark-side.
+    - ``"fold"``: the pure-DataFrame broadcast join + per-pair
+      higher-order fold.  The non-equi ``q_id != cand_id`` condition
+      plans as BroadcastNestedLoopJoin — never codegen'd, every
+      quantize/dot fold interpreted per pair (~2 s at sf0.1's 20k×20
+      sweep vs ~0.4 s for the kernel).  Kept as the parity anchor
+      (tests/test_round13_opt.py pins bit-identity)."""
+    if kernel == "arrow":
+        scored = _quantized_scores_arrow(df, id_col, vec_col, n_queries)
+        scored = scored.filter(F.col("q_id") != F.col("cand_id")).select(
+            "q_id",
+            "cand_id",
+            F.round(F.col("_raw_cosine"), 6).alias("q_cosine"),
+        )
+    else:
+        q = df.select(
+            F.col(id_col).alias("q_id"), quantize_vec(vec_col).alias("qv")
+        ).filter(F.col("q_id") < n_queries)
+        c = df.select(F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("cv"))
+        q = q.withColumn("qnorm", F.sqrt(norm_sq_expr("qv")))
+        c = c.withColumn("cnorm", F.sqrt(norm_sq_expr("cv")))
+        sim = F.round(dot_expr("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("q_id") != F.col("cand_id"))
+            .select("q_id", "cand_id", sim.alias("q_cosine"))
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("q_cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
     )
+
+
+def _quantized_scores_arrow(
+    df: DataFrame, id_col: str, vec_col: str, n_queries: int
+) -> DataFrame:
+    """(q_id, cand_id, _raw_cosine) for every (query, corpus) pair over
+    int8-QUANTIZED vectors via the batched numpy kernel; see
+    :func:`quantized_topk` ``kernel="arrow"``.
+
+    Bit-exactness: quantization (``m = max|x|``, ``s = 127/m`` or 0,
+    ``q_i = floor(x_i*s + 0.5)``) is the same three correctly-rounded
+    IEEE-double operations :func:`quantize_vec` evaluates — float32
+    inputs widen exactly, so the integer codes are identical.  Dots and
+    norms over the codes are EXACT (products ≤ 127²·dim, integer sums in
+    float64), and the cosine is ``dot / (qnorm * cnorm)`` with the fold
+    path's operand order.  The query matrix is a bounded head collect
+    (``n_queries`` rows — the established index-time pattern of
+    ``_brute_force_scores_arrow``)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    def _quantize_rows(v: "np.ndarray") -> "np.ndarray":
+        m = np.abs(v).max(axis=1)
+        scale = np.zeros_like(m)
+        nz = m > 0
+        scale[nz] = 127.0 / m[nz]
+        return np.floor(v * scale[:, None] + 0.5)
+
+    qrows = (
+        df.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        )
+        .filter(F.col("q_id") < n_queries)
+        .orderBy("q_id")
+        .collect()
+    )
+    q_ids = np.array([int(r.q_id) for r in qrows], dtype=np.int64)
+    qm = _quantize_rows(np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows]))
+    d = qm.shape[1]
+    qnorm = np.zeros(qm.shape[0])
+    for i in range(d):
+        qnorm += qm[:, i] * qm[:, i]
+    qnorm = np.sqrt(qnorm)
+    base = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_v"))
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("_raw_cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _quantize_rows(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+            )  # (n, d) integer codes
+            n = v.shape[0]
+            dots = np.zeros((n, qm.shape[0]))
+            cnorm = np.zeros(n)
+            for i in range(d):
+                dots += v[:, i, None] * qm[None, :, i]
+                cnorm += v[:, i] * v[:, i]
+            cnorm = np.sqrt(cnorm)
+            cos = dots / (qnorm[None, :] * cnorm[:, None])
+            cand = pdf["cand_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "cand_id": np.repeat(cand, qm.shape[0]),
+                    "_raw_cosine": cos.reshape(-1),
+                }
+            )
+
+    return base.mapInPandas(score, schema=out_schema)
 
 
 def random_projection(

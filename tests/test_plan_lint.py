@@ -27,8 +27,6 @@ BNLJ_OK = {
     "x2_cosine_topk": "20 broadcast query vectors vs corpus (bounded probe set)",
     "x2_ivf_ann": "broadcast centroid set (16 rows)",
     "x2_ivf_full_probe": "broadcast centroid set (16 rows)",
-    "x2_quantized_topk": "20 broadcast query vectors vs corpus",
-    "x1_ngram_jaccard_pairs": "bounded ground-truth oracle (id<200 both sides, documented)",
     "x1_embedding_near_dup": "bounded ground-truth oracle (id-range capped, documented)",
     "x3_ngram_lm_score": "1-row corpus-total relation crossed in",
     "x3_quality_threshold_filter": "1-row percentile-threshold relation crossed in",

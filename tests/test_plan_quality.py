@@ -283,10 +283,15 @@ def test_point_in_time_single_key_shuffle(spark, sf_dir):
 
 
 def test_quantized_topk_broadcasts_queries(spark, sf_dir):
-    """The bounded query side must broadcast (corpus never shuffles for
-    scoring); ranking shuffles once on q_id."""
+    """Scoring is the Arrow batch kernel with the bounded query matrix in
+    the closure (round 13 — no join at all for scoring; the earlier
+    BroadcastNestedLoopJoin evaluated every quantize/dot fold interpreted
+    per pair); the corpus never shuffles before the one q_id ranking
+    exchange, and no row-at-a-time Python node may appear."""
     plan = _final_plan(registry.QUERIES["x2_quantized_topk"](spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 1, plan
 
