@@ -773,7 +773,11 @@ def _quantized_scores_arrow(
                 dots += v[:, i, None] * qm[None, :, i]
                 cnorm += v[:, i] * v[:, i]
             cnorm = np.sqrt(cnorm)
-            cos = dots / (qnorm[None, :] * cnorm[:, None])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # zero-norm (all-zero) vectors produce NaN/inf cosines in
+                # IEEE arithmetic — exactly what the JVM fold path emits;
+                # only the warning is suppressed, never the value
+                cos = dots / (qnorm[None, :] * cnorm[:, None])
             cand = pdf["cand_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
                 {

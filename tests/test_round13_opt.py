@@ -66,6 +66,39 @@ def test_quantized_topk_arrow_bit_identical_to_fold(spark):
     assert arrow.exceptAll(fold).count() == 0
 
 
+def test_quantized_topk_kernels_agree_on_zero_vectors(spark):
+    """An all-zero vector quantizes to zero codes and a zero norm; its
+    cosines are IEEE NaN on both engines and must survive identically
+    (rank order included) through round/window on both paths."""
+    rows = [
+        (0, [0.0] * 4),
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [2.0, 4.0, 6.0, 8.0]),
+        (3, [-1.0, 0.5, 0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fold = similarity.quantized_topk(df, k=3, n_queries=3, kernel="fold")
+    arrow = similarity.quantized_topk(df, k=3, n_queries=3, kernel="arrow")
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_ngram_jaccard_equijoin_matches_quadratic_unigram_and_empty(spark):
+    """n=1 (unigram fallback shingles) and empty-text docs must keep the
+    equi-join form equal to the quadratic anchor — empty text shingles to
+    [''] and pairs up with other empty docs at jaccard 1.0."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma"), (2, ""), (3, "alpha beta"), (4, "")],
+        "doc_id long, text string",
+    )
+    new = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.2, max_id=None)
+    old = dedup.ngram_jaccard_pairs(docs, n=1, threshold=-1.0, max_id=None).filter(
+        F.col("jaccard") >= 0.2
+    )
+    got_new = sorted(map(tuple, new.collect()))
+    assert got_new == sorted(map(tuple, old.collect()))
+    assert (2, 4, 1.0) in got_new  # the empty-empty pair
+
+
 def test_connected_components_ignores_out_of_nodes_endpoints(spark):
     """Pairs referencing ids absent from ``nodes`` must neither appear in
     the output nor bridge components (an absent node has no label to
