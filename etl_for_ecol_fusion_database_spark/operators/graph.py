@@ -49,6 +49,12 @@ def connected_components(
     Deterministic: the fixpoint is unique (min over a fixed reachable
     set), independent of partitioning and iteration order.
 
+    Output is one row per DISTINCT node id: duplicate rows in ``nodes``
+    are collapsed by the per-round ``groupBy`` (intentional since r13 —
+    the pre-r13 implementation emitted one label row per duplicate input
+    row; all in-repo callers pass distinct nodes, and the dedup is pinned
+    by tests/test_round14_opt.py).
+
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` rounds: min-label propagation needs ~diameter iterations,
     so a chain longer than ``max_iter`` hops would otherwise return

@@ -137,6 +137,10 @@ def brute_force_topk(
     selection trace); the default keeps the established round(…, 6)
     output the cosine-top-k oracles pin.
     """
+    if kernel not in ("arrow", "fold"):
+        # a typo'd kernel must not silently take the ~10x-slower fold path
+        # (ADVICE r13)
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel!r}")
     if kernel == "arrow":
         scored = _brute_force_scores_arrow(df, id_col, vec_col, n_queries)
         raw = F.col("_raw_cosine")
@@ -183,12 +187,23 @@ def _brute_force_scores_arrow(
     import numpy as np
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("_raw_cosine", DoubleType()),
+        ]
+    )
     qrows = (
         df.select(F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv"))
         .filter(F.col("q_id") < n_queries)
         .orderBy("q_id")
         .collect()
     )
+    if not qrows:
+        # no ids below n_queries: the fold path returns an empty relation,
+        # so the kernel must too instead of crashing np.stack (ADVICE r13)
+        return df.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([int(r.q_id) for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
     d = qm.shape[1]
@@ -197,13 +212,6 @@ def _brute_force_scores_arrow(
         qnorm += qm[:, i] * qm[:, i]
     qnorm = np.sqrt(qnorm)
     base = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_v"))
-    out_schema = StructType(
-        [
-            StructField("q_id", LongType()),
-            StructField("cand_id", LongType()),
-            StructField("_raw_cosine", DoubleType()),
-        ]
-    )
 
     def score(batches):
         import pandas as pd
@@ -681,6 +689,10 @@ def quantized_topk(
       quantize/dot fold interpreted per pair (~2 s at sf0.1's 20k×20
       sweep vs ~0.4 s for the kernel).  Kept as the parity anchor
       (tests/test_round13_opt.py pins bit-identity)."""
+    if kernel not in ("arrow", "fold"):
+        # a typo'd kernel must not silently take the ~10x-slower fold path
+        # (ADVICE r13)
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel!r}")
     if kernel == "arrow":
         scored = _quantized_scores_arrow(df, id_col, vec_col, n_queries)
         scored = scored.filter(F.col("q_id") != F.col("cand_id")).select(
@@ -733,6 +745,13 @@ def _quantized_scores_arrow(
         scale[nz] = 127.0 / m[nz]
         return np.floor(v * scale[:, None] + 0.5)
 
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("_raw_cosine", DoubleType()),
+        ]
+    )
     qrows = (
         df.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -741,6 +760,10 @@ def _quantized_scores_arrow(
         .orderBy("q_id")
         .collect()
     )
+    if not qrows:
+        # no ids below n_queries: the fold path returns an empty relation,
+        # so the kernel must too instead of crashing np.stack (ADVICE r13)
+        return df.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([int(r.q_id) for r in qrows], dtype=np.int64)
     qm = _quantize_rows(np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows]))
     d = qm.shape[1]
@@ -749,13 +772,6 @@ def _quantized_scores_arrow(
         qnorm += qm[:, i] * qm[:, i]
     qnorm = np.sqrt(qnorm)
     base = df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_v"))
-    out_schema = StructType(
-        [
-            StructField("q_id", LongType()),
-            StructField("cand_id", LongType()),
-            StructField("_raw_cosine", DoubleType()),
-        ]
-    )
 
     def score(batches):
         import pandas as pd

@@ -11,11 +11,22 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F  # noqa: F401
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_rebalanced
 from ..operators import text  # noqa: F401
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
+
+
+def _tp(spark, sf_dir, name):
+    """Rebalanced loader for MAP-heavy consumers (guide §2.5): identical to
+    ``_t`` whenever the file layout already feeds ``defaultParallelism``
+    scan tasks; otherwise one deterministic PK-hash repartition so the
+    expansion/kernel stage is not serialized on a single row group.  Reach
+    for it only where the scan feeds heavy per-row work (shingling, rolling
+    hashes, trigram explosion, Arrow kernels) — never ahead of a broadcast
+    side or a tiny relation, where the extra exchange is pure overhead."""
+    return load_table_rebalanced(spark, sf_dir, name)
 
 
 #: (sf_dir, n) -> [(vec_id, [float, ...]), ...] — see _embedding_head

@@ -121,7 +121,9 @@ def x6_decontaminate(spark, sf_dir):
     portable Knuth hash so the oracle reproduces it exactly."""
     from ..operators import dedup, sampling
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import load_table_rebalanced
+
+    docs = load_table_rebalanced(spark, sf_dir, "documents")
     split = sampling.hash_split(docs, "doc_id")
     train = split.filter(F.col("split") == "train").select("doc_id", "text")
     test = split.filter(F.col("split") == "test").select("doc_id", "text")

@@ -22,6 +22,7 @@ from ._shared import (  # noqa: F401
     _STOP_LIST,
     _marker_list,
     _rt_tmpdir,
+    _tp,
     _t,
     _with_synthetic_near_dups,
 )
@@ -450,7 +451,11 @@ def x3_ngram_lm_score(spark, sf_dir):
     groupBy.  Scores rounded to 6 dp on both sides: libm vs JVM ``ln`` and
     summation order differ below 1e-12, far inside the rounding guard."""
     vocab_cap = 4096
-    t = _t(spark, sf_dir, "documents").select(
+    # rebalanced load (guide §2.5): the trigram explosion and its map-side
+    # partial aggregate are the query's dominant work and run in the SCAN
+    # stage — a one-row-group fixture file serializes both on one core
+    # (measured 8->32-core ratio 0.95 on the r13 driver sheet)
+    t = _tp(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower("text").alias("s")
     )
     # trigrams from a once-split char array (O(1) [] indexing) — the

@@ -22,6 +22,7 @@ from ._shared import (  # noqa: F401
     _STOP_LIST,
     _embedding_head,
     _marker_list,
+    _tp,
     _rt_tmpdir,
     _t,
     _with_synthetic_near_dups,
@@ -678,7 +679,7 @@ def x9_curation_v3(spark, sf_dir):
     constants."""
     from ..operators import sampling as sampling_ops
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     bench = docs.filter(F.col("source") == "src0")
     # r13 optimization pass: the Gopher verdict is row-local over the raw
