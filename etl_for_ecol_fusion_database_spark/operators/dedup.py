@@ -1540,6 +1540,20 @@ def minhash_estimate_report(
     localCheckpoint adds a hard materialization and erases the size
     statistics that let the slim sides broadcast.  Left unbarriered on
     that measurement.)
+
+    (r14 note: the OTHER barrier shape — writing the per-doc signature
+    relation to a parquet store inside the call and serving every
+    consumer from the files, the x2_index_persist build/serve split
+    VERDICT r13 suggested — was implemented and measured as a clear
+    REGRESSION at both scales: x1_minhash_accuracy 1.98 -> 2.74 s at
+    sf0.1 and 6.72 -> 11.31 s at sf1, x1_minhash_portable 1.47 -> 1.98 s
+    at sf0.1 (alternating-fresh-session probes,
+    docs/PROBE_R14_MHSTORE_*.json).  Reason is the same as the r13
+    localCheckpoint result: the static plan's duplicated signature
+    chains share their aggregation exchange at runtime, so the store
+    saves almost no compute while its write+read+commit I/O scales WITH
+    the corpus.  Do not re-try a materialization barrier here; the plan's
+    scan count overstates the executed work.)
     """
     r = _bands_divide(num_hashes, n_bands)
     sh = shingle_rows(df, id_col, text_col, n)
